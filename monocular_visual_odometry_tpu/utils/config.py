@@ -1,0 +1,243 @@
+"""Typed configuration for the VO engine.
+
+Replaces the reference's two overlapping string-typed YAML readers —
+singleton flat ``Config`` (``/root/reference/src/basics/config.cpp``) and
+hierarchical ``Yaml`` (``/root/reference/src/basics/yaml.cpp``) — with one
+frozen dataclass tree.  Parameter names and defaults mirror
+``/root/reference/config/config.yaml`` so a reference user can carry their
+config over; booleans are real booleans (the reference used the strings
+"true"/"false", config.cpp:39-46) and float thresholds are real floats (the
+reference truncated them through ``get<int>``, feature_match.cpp:137-139 —
+a quirk we deliberately do not replicate, SURVEY.md §7).
+
+Capacity fields (max_keypoints, max_map_points, ...) are *static* for jit:
+changing them recompiles; changing any float/int threshold does not (they
+are passed into kernels as traced scalars where it matters).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Optional
+
+import yaml as _yaml
+
+
+@dataclass(frozen=True)
+class OrbConfig:
+    """Feature detection (config.yaml:63-69, 94-95)."""
+
+    num_keypoints: int = 8000            # number_of_keypoints_to_extract (candidate pool)
+    max_keypoints: int = 1024            # max_number_of_keypoints (ref: 1500; we use a
+                                         # power of two for MXU-friendly matcher tiles)
+    scale_factor: float = 1.2            # pyramid scale
+    n_levels: int = 4                    # level_pyramid
+    score_threshold: float = 20.0        # FAST threshold
+    grid_size: int = 16                  # kpts_uniform_selection_grid_size
+    max_pts_per_grid: int = 8            # kpts_uniform_selection_max_pts_per_grid
+    patch_size: int = 31                 # BRIEF sampling patch (ORB standard)
+    harris_k: float = 0.04
+
+
+@dataclass(frozen=True)
+class MatchConfig:
+    """Descriptor matching (config.yaml:71-91)."""
+
+    method_index: int = 3                # 1=xiang-gao threshold BF, 2=Lowe ratio, 3=radius BF
+    xiang_gao_match_ratio: float = 2.0   # dist_th = max(min_dist * ratio, 30)
+    lowe_dist_ratio: float = 0.8
+    method3_dist_threshold: float = 50.0
+    max_pixel_dist_init: float = 100.0   # max_matching_pixel_dist_in_initialization
+    max_pixel_dist_triang: float = 100.0
+    max_pixel_dist_pnp: float = 50.0
+    max_matches: int = 1024              # static match-slot capacity
+
+
+@dataclass(frozen=True)
+class RansacConfig:
+    """Essential/homography RANSAC (config.yaml:99-102) — batched-hypothesis
+    formulation (fixed hypothesis count instead of adaptive early exit)."""
+
+    prob: float = 0.999                  # findEssentialMat_prob (kept for parity/reporting)
+    threshold_px: float = 1.0            # findEssentialMat_threshold (pixels)
+    n_hypotheses: int = 512              # hypothesis batch per model
+    pnp_n_hypotheses: int = 256
+    pnp_reproj_threshold_px: float = 2.0 # cv::solvePnPRansac threshold (vo.cpp:318)
+    pnp_min_inliers: int = 5
+
+
+@dataclass(frozen=True)
+class TriangulationConfig:
+    """(config.yaml:104-106)."""
+
+    min_triang_angle_deg: float = 1.0
+    max_ratio_angle_over_median: float = 20.0
+
+
+@dataclass(frozen=True)
+class InitConfig:
+    """Initialization quality gates (config.yaml:108-113)."""
+
+    min_inlier_matches: int = 15
+    min_pixel_dist: float = 50.0
+    min_median_triang_angle_deg: float = 2.0
+    assumed_mean_depth: float = 0.8      # assumed_mean_pts_depth_during_vo_init
+
+
+@dataclass(frozen=True)
+class TrackingConfig:
+    """Keyframe / PnP safety thresholds (config.yaml:115-117)."""
+
+    min_dist_between_keyframes: float = 0.03
+    max_dist_to_prev_keyframe: float = 0.3
+
+
+@dataclass(frozen=True)
+class BAConfig:
+    """Bundle adjustment (config.yaml:119-123)."""
+
+    enabled: bool = True                 # is_enable_ba
+    window: int = 5                      # num_prev_frames_to_opti_by_ba (<=20)
+    information_matrix: tuple = (1.0, 0.0, 0.0, 1.0)
+    fix_map_points: bool = True          # is_ba_fix_map_points
+    iterations: int = 20                 # LM iterations (g2o used 50; our LM converges faster)
+    huber_delta: float = 1.0             # robust kernel width (pixels·sqrt(info))
+    init_lambda: float = 1e-3
+
+
+@dataclass(frozen=True)
+class MapConfig:
+    """Local-map capacities and culling (vo.cpp:488-526).  Capacities are
+    static-shape pools; the reference's analogues are the ~1000-point
+    adaptive cull and the 20-frame ring buffer (vo.h:64)."""
+
+    max_map_points: int = 4096
+    default_erase_ratio: float = 0.1     # match-ratio cull threshold
+    max_view_angle_deg: float = 45.0
+    frame_buffer: int = 20               # kBuffSize_
+    max_keyframes: int = 64              # stored keyframe pose capacity
+
+
+@dataclass(frozen=True)
+class DatasetConfig:
+    """Per-dataset section (config.yaml:10-40)."""
+
+    dataset_dir: str = ""
+    num_images: int = 150
+    fx: float = 615.0
+    fy: float = 615.0
+    cx: float = 320.0
+    cy: float = 240.0
+    height: int = 480
+    width: int = 640
+    is_draw_true_traj: bool = False
+    true_traj_filename: str = ""
+
+
+@dataclass(frozen=True)
+class VOConfig:
+    dataset: DatasetConfig = field(default_factory=DatasetConfig)
+    orb: OrbConfig = field(default_factory=OrbConfig)
+    match: MatchConfig = field(default_factory=MatchConfig)
+    ransac: RansacConfig = field(default_factory=RansacConfig)
+    triang: TriangulationConfig = field(default_factory=TriangulationConfig)
+    init: InitConfig = field(default_factory=InitConfig)
+    tracking: TrackingConfig = field(default_factory=TrackingConfig)
+    ba: BAConfig = field(default_factory=BAConfig)
+    map: MapConfig = field(default_factory=MapConfig)
+    max_num_imgs_to_proc: int = 300
+    save_predicted_traj_to: str = "output/cam_traj.txt"
+    output_folder: str = "output"
+
+    def replace(self, **kw) -> "VOConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def _b(v: Any) -> bool:
+    """Accept real bools and the reference's string bools."""
+    if isinstance(v, str):
+        return v.strip().lower() == "true"
+    return bool(v)
+
+
+def load_config(path: str | Path) -> VOConfig:
+    """Load a YAML config.  Accepts both this framework's nested layout and
+    the reference's flat layout (same key names, ``dataset_name`` section
+    selection as in run_vo.cpp:66-69)."""
+    with open(path) as f:
+        text = f.read()
+    # The reference files start with the cv::FileStorage "%YAML:1.0" directive,
+    # which PyYAML rejects; strip it for compatibility.
+    lines = [ln for ln in text.splitlines() if not ln.startswith("%YAML")]
+    raw = _yaml.safe_load("\n".join(lines)) or {}
+
+    ds = DatasetConfig()
+    if "dataset_name" in raw and raw.get(raw["dataset_name"]):
+        sec = raw[raw["dataset_name"]]
+        ds = DatasetConfig(
+            dataset_dir=sec.get("dataset_dir", ""),
+            num_images=int(sec.get("num_images", 150)),
+            fx=float(sec.get("camera_info.fx", 615.0)),
+            fy=float(sec.get("camera_info.fy", 615.0)),
+            cx=float(sec.get("camera_info.cx", 320.0)),
+            cy=float(sec.get("camera_info.cy", 240.0)),
+            is_draw_true_traj=_b(sec.get("is_draw_true_traj", False)),
+            true_traj_filename=sec.get("true_traj_filename", ""),
+        )
+    elif "dataset" in raw:
+        ds = DatasetConfig(**raw["dataset"])
+
+    g = raw.get  # flat reference keys
+    cfg = VOConfig(
+        dataset=ds,
+        orb=OrbConfig(
+            num_keypoints=int(g("number_of_keypoints_to_extract", 8000)),
+            max_keypoints=int(g("max_number_of_keypoints", 1024)),
+            scale_factor=float(g("scale_factor", 1.2)),
+            n_levels=int(g("level_pyramid", 4)),
+            score_threshold=float(g("score_threshold", 20.0)),
+            grid_size=int(g("kpts_uniform_selection_grid_size", 16)),
+            max_pts_per_grid=int(g("kpts_uniform_selection_max_pts_per_grid", 8)),
+        ),
+        match=MatchConfig(
+            method_index=int(g("feature_match_method_index", 3)),
+            xiang_gao_match_ratio=float(g("xiang_gao_method_match_ratio", 2.0)),
+            lowe_dist_ratio=float(g("lowe_method_dist_ratio", 0.8)),
+            method3_dist_threshold=float(g("method_3_feature_dist_threshold", 50.0)),
+            max_pixel_dist_init=float(g("max_matching_pixel_dist_in_initialization", 100.0)),
+            max_pixel_dist_triang=float(g("max_matching_pixel_dist_in_triangulation", 100.0)),
+            max_pixel_dist_pnp=float(g("max_matching_pixel_dist_in_pnp", 50.0)),
+        ),
+        ransac=RansacConfig(
+            prob=float(g("findEssentialMat_prob", 0.999)),
+            threshold_px=float(g("findEssentialMat_threshold", 1.0)),
+        ),
+        triang=TriangulationConfig(
+            min_triang_angle_deg=float(g("min_triang_angle", 1.0)),
+            max_ratio_angle_over_median=float(g("max_ratio_between_max_angle_and_median_angle", 20.0)),
+        ),
+        init=InitConfig(
+            min_inlier_matches=int(g("min_inlier_matches", 15)),
+            min_pixel_dist=float(g("min_pixel_dist", 50.0)),
+            min_median_triang_angle_deg=float(g("min_median_triangulation_angle", 2.0)),
+            assumed_mean_depth=float(g("assumed_mean_pts_depth_during_vo_init", 0.8)),
+        ),
+        tracking=TrackingConfig(
+            min_dist_between_keyframes=float(g("min_dist_between_two_keyframes", 0.03)),
+            max_dist_to_prev_keyframe=float(g("max_possible_dist_to_prev_keyframe", 0.3)),
+        ),
+        ba=BAConfig(
+            enabled=_b(g("is_enable_ba", True)),
+            window=int(g("num_prev_frames_to_opti_by_ba", 5)),
+            information_matrix=tuple(
+                float(x) for x in str(g("information_matrix", "1.0 0.0 0.0 1.0")).split()
+            ),
+            fix_map_points=_b(g("is_ba_fix_map_points", True)),
+        ),
+        max_num_imgs_to_proc=int(g("max_num_imgs_to_proc", 300)),
+        save_predicted_traj_to=g("save_predicted_traj_to", "output/cam_traj.txt"),
+        output_folder=g("output_folder", "output"),
+    )
+    return cfg
