@@ -1,0 +1,291 @@
+"""Synthetic benchmark scenes with exact ground truth.
+
+The reference is demonstrated on the New Tsukuba sequence (150 frames,
+lateral camera motion, ``/root/reference/README.md:214``) which is not
+redistributable; this module *generates* an equivalent benchmark: a
+multi-plane textured scene rendered by exact ray-plane intersection, with a
+smooth 6-DoF camera trajectory and ground truth poses written in the
+reference's 12-number trajectory format (``vo_io.cpp:51-77``).
+
+Two flavors:
+
+- :func:`render_sequence` — full images for end-to-end VO (FAST corners come
+  from multi-scale noise texture; geometry from 2-4 planes at different
+  depths, so both essential-matrix and homography regimes appear).
+- :func:`synthesize_two_view` / :func:`synthesize_pnp_scene` — exact 2-D/3-D
+  correspondence sets (no rendering) used to unit-test the geometry kernels
+  against known poses, mirroring SURVEY.md §4's test strategy.
+
+Everything here is host-side NumPy (offline data prep, like the reference's
+``python_tools/``); the TPU never sees this code.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Tuple
+
+import numpy as np
+
+from monocular_visual_odometry_tpu.utils import io as vio
+
+
+# ---------------------------------------------------------------------------
+# textures and planes
+# ---------------------------------------------------------------------------
+
+
+def _multiscale_texture(rng: np.random.Generator, size: int = 1024) -> np.ndarray:
+    """High-contrast texture with structure at many scales (so FAST finds
+    corners at every pyramid level). Returns [size, size] float in [0,1]."""
+    tex = np.zeros((size, size), dtype=np.float64)
+    for cell in (8, 16, 32, 64):
+        n = size // cell
+        coarse = rng.uniform(0.0, 1.0, size=(n, n))
+        tex += np.kron(coarse, np.ones((cell, cell)))
+    tex /= 4.0
+    # binarize-ish to sharpen edges -> strong corners
+    tex = 0.15 + 0.7 * (tex > 0.5) + 0.15 * tex
+    return np.clip(tex, 0.0, 1.0)
+
+
+@dataclass
+class Plane:
+    """Textured plane: point p0, unit normal n, in-plane axes (u, v), and a
+    texture sampled at ``scale`` texels per world unit."""
+
+    p0: np.ndarray
+    n: np.ndarray
+    u: np.ndarray
+    v: np.ndarray
+    tex: np.ndarray
+    scale: float = 100.0
+
+
+def default_scene(seed: int = 0) -> list[Plane]:
+    """A room-like scene: far wall, floor, ceiling-ish slab, and a side wall.
+    Depths range ~2-8 world units in front of the initial camera."""
+    rng = np.random.default_rng(seed)
+    mk = lambda: _multiscale_texture(rng)
+    z = np.array([0.0, 0.0, 1.0])
+    x = np.array([1.0, 0.0, 0.0])
+    y = np.array([0.0, 1.0, 0.0])
+    return [
+        # far wall at z=8, facing camera
+        Plane(p0=np.array([0.0, 0.0, 8.0]), n=-z, u=x, v=y, tex=mk(), scale=80.0),
+        # floor at y=1.2 (camera looks +z, y down-ish)
+        Plane(p0=np.array([0.0, 1.2, 0.0]), n=-y, u=x, v=z, tex=mk(), scale=100.0),
+        # ceiling at y=-1.5
+        Plane(p0=np.array([0.0, -1.5, 0.0]), n=y, u=x, v=z, tex=mk(), scale=100.0),
+        # left wall at x=-2.5
+        Plane(p0=np.array([-2.5, 0.0, 0.0]), n=x, u=z, v=y, tex=mk(), scale=90.0),
+        # right wall at x=2.5
+        Plane(p0=np.array([2.5, 0.0, 0.0]), n=-x, u=z, v=y, tex=mk(), scale=90.0),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# trajectory
+# ---------------------------------------------------------------------------
+
+
+def make_trajectory(n_frames: int, seed: int = 0, translation_step: float = 0.04,
+                    lateral_amp: float = 0.6, yaw_amp: float = 0.08) -> np.ndarray:
+    """Smooth forward+lateral trajectory with gentle yaw/pitch, [N,4,4]
+    T_w_c poses. Motion magnitudes are sized so the reference's thresholds
+    (keyframe dist 0.03, init pixel-dist 50) trigger naturally."""
+    from scipy.spatial.transform import Rotation
+
+    ts = np.arange(n_frames, dtype=np.float64)
+    # position: forward z plus lateral sinusoid
+    px = lateral_amp * np.sin(ts * 2 * np.pi / max(n_frames, 60))
+    py = 0.08 * np.sin(ts * 2 * np.pi / 37.0)
+    pz = ts * translation_step
+    yaw = yaw_amp * np.sin(ts * 2 * np.pi / max(n_frames, 80))
+    pitch = 0.03 * np.sin(ts * 2 * np.pi / 53.0)
+    poses = np.zeros((n_frames, 4, 4))
+    for i in range(n_frames):
+        R = Rotation.from_euler("yx", [yaw[i], pitch[i]]).as_matrix()
+        poses[i, :3, :3] = R
+        poses[i, :3, 3] = [px[i], py[i], pz[i]]
+        poses[i, 3, 3] = 1.0
+    return poses
+
+
+# ---------------------------------------------------------------------------
+# rendering
+# ---------------------------------------------------------------------------
+
+
+def render_frame(T_w_c: np.ndarray, planes: list[Plane], K: np.ndarray,
+                 height: int = 480, width: int = 640) -> np.ndarray:
+    """Render one grayscale frame by exact ray/plane intersection with
+    bilinear texture lookup. Returns uint8 [H, W]."""
+    Kinv = np.linalg.inv(K)
+    us, vs = np.meshgrid(np.arange(width), np.arange(height))
+    pix = np.stack([us.ravel(), vs.ravel(), np.ones(us.size)], axis=0)  # [3, P]
+    dirs_cam = (Kinv @ pix)  # [3, P]
+    R, t = T_w_c[:3, :3], T_w_c[:3, 3]
+    dirs = R @ dirs_cam  # world-frame ray directions
+    origin = t
+
+    best_t = np.full(us.size, np.inf)
+    img = np.zeros(us.size, dtype=np.float64)
+    for pl in planes:
+        denom = pl.n @ dirs  # [P]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t_hit = ((pl.p0 - origin) @ pl.n) / denom
+        valid = (np.abs(denom) > 1e-9) & (t_hit > 0.05) & (t_hit < best_t)
+        if not valid.any():
+            continue
+        X = origin[:, None] + dirs[:, valid] * t_hit[valid]  # [3, Pv]
+        rel = X - pl.p0[:, None]
+        tu = (pl.u @ rel) * pl.scale
+        tv = (pl.v @ rel) * pl.scale
+        th, tw = pl.tex.shape
+        iu = np.mod(tu, tw - 1)
+        iv = np.mod(tv, th - 1)
+        i0, j0 = np.floor(iv).astype(int), np.floor(iu).astype(int)
+        fv, fu = iv - i0, iu - j0
+        c = (pl.tex[i0, j0] * (1 - fu) * (1 - fv)
+             + pl.tex[i0, j0 + 1] * fu * (1 - fv)
+             + pl.tex[i0 + 1, j0] * (1 - fu) * fv
+             + pl.tex[i0 + 1, j0 + 1] * fu * fv)
+        img[valid] = c
+        best_t[valid] = t_hit[valid]
+    return (np.clip(img, 0, 1) * 255).astype(np.uint8).reshape(height, width)
+
+
+def render_sequence(out_dir: str, n_frames: int = 60, seed: int = 0,
+                    height: int = 480, width: int = 640,
+                    fx: float = 615.0, fy: float = 615.0,
+                    cx: float = 320.0, cy: float = 240.0,
+                    translation_step: float = 0.04) -> np.ndarray:
+    """Render a full benchmark sequence into ``out_dir`` in the reference's
+    dataset layout: ``rgb_%05d.png`` frames + ``cam_traj_truth.txt`` ground
+    truth. Returns the [N,4,4] GT poses."""
+    from PIL import Image
+
+    os.makedirs(out_dir, exist_ok=True)
+    planes = default_scene(seed)
+    poses = make_trajectory(n_frames, seed, translation_step=translation_step)
+    K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+    for i in range(n_frames):
+        img = render_frame(poses[i], planes, K, height, width)
+        Image.fromarray(img).save(os.path.join(out_dir, f"rgb_{i:05d}.png"))
+    vio.write_trajectory(os.path.join(out_dir, "cam_traj_truth.txt"), poses)
+    return poses
+
+
+# ---------------------------------------------------------------------------
+# exact correspondence generators (for unit tests; no rendering)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class TwoViewScene:
+    """Exact two-view correspondence set with known relative pose."""
+
+    pts_w: np.ndarray      # [N,3] world points
+    uv1: np.ndarray        # [N,2] pixels in view 1
+    uv2: np.ndarray        # [N,2] pixels in view 2
+    T_w_c1: np.ndarray     # [4,4]
+    T_w_c2: np.ndarray
+    K: np.ndarray          # [3,3]
+
+    @property
+    def T_c1_c2(self) -> np.ndarray:
+        return np.linalg.inv(self.T_w_c1) @ self.T_w_c2
+
+
+def _project(pts_w, T_w_c, K):
+    Tcw = np.linalg.inv(T_w_c)
+    pc = pts_w @ Tcw[:3, :3].T + Tcw[:3, 3]
+    uv = pc[:, :2] / pc[:, 2:3] * np.array([K[0, 0], K[1, 1]]) + np.array([K[0, 2], K[1, 2]])
+    return uv, pc[:, 2]
+
+
+def synthesize_two_view(n: int = 200, seed: int = 0, planar: bool = False,
+                        noise_px: float = 0.0, outlier_frac: float = 0.0,
+                        baseline: float = 0.3) -> TwoViewScene:
+    """Random 3-D points (or a plane if ``planar``) seen from two poses.
+    Points are guaranteed in front of both cameras and inside a 640x480
+    image. Optionally adds pixel noise and gross outliers."""
+    from scipy.spatial.transform import Rotation
+
+    rng = np.random.default_rng(seed)
+    K = np.array([[615.0, 0, 320], [0, 615.0, 240], [0, 0, 1]])
+    T1 = np.eye(4)
+    T2 = np.eye(4)
+    T2[:3, :3] = Rotation.from_euler("yxz", rng.uniform(-0.08, 0.08, 3)).as_matrix()
+    T2[:3, 3] = np.array([baseline, 0.05, 0.1]) * (1 + 0.2 * rng.standard_normal(3))
+
+    pts = np.zeros((0, 3))
+    while len(pts) < n:
+        m = 4 * n
+        if planar:
+            xy = rng.uniform(-3, 3, size=(m, 2))
+            cand = np.stack([xy[:, 0], xy[:, 1], np.full(m, 5.0)], axis=1)
+            # tilt the plane a bit
+            Rp = Rotation.from_euler("xy", [0.3, 0.2]).as_matrix()
+            cand = (cand - [0, 0, 5.0]) @ Rp.T + [0, 0, 5.0]
+        else:
+            cand = np.stack(
+                [rng.uniform(-3, 3, m), rng.uniform(-2, 2, m), rng.uniform(2.5, 9.0, m)],
+                axis=1,
+            )
+        uv1, z1 = _project(cand, T1, K)
+        uv2, z2 = _project(cand, T2, K)
+        ok = (z1 > 0.2) & (z2 > 0.2)
+        for uv in (uv1, uv2):
+            ok &= (uv[:, 0] > 5) & (uv[:, 0] < 635) & (uv[:, 1] > 5) & (uv[:, 1] < 475)
+        pts = np.concatenate([pts, cand[ok]])[:n]
+    uv1, _ = _project(pts, T1, K)
+    uv2, _ = _project(pts, T2, K)
+    if noise_px > 0:
+        uv1 = uv1 + rng.normal(0, noise_px, uv1.shape)
+        uv2 = uv2 + rng.normal(0, noise_px, uv2.shape)
+    if outlier_frac > 0:
+        n_out = int(n * outlier_frac)
+        idx = rng.choice(n, n_out, replace=False)
+        uv2[idx] = rng.uniform([0, 0], [640, 480], size=(n_out, 2))
+    return TwoViewScene(pts, uv1.astype(np.float64), uv2.astype(np.float64), T1, T2, K)
+
+
+@dataclass
+class PnPScene:
+    """3-D world points + their pixels in a camera with known pose."""
+
+    pts_w: np.ndarray     # [N,3]
+    uv: np.ndarray        # [N,2]
+    T_w_c: np.ndarray     # [4,4]
+    K: np.ndarray
+
+
+def synthesize_pnp_scene(n: int = 100, seed: int = 0, noise_px: float = 0.0,
+                         outlier_frac: float = 0.0) -> PnPScene:
+    from scipy.spatial.transform import Rotation
+
+    rng = np.random.default_rng(seed)
+    K = np.array([[615.0, 0, 320], [0, 615.0, 240], [0, 0, 1]])
+    T = np.eye(4)
+    T[:3, :3] = Rotation.from_euler("yxz", rng.uniform(-0.3, 0.3, 3)).as_matrix()
+    T[:3, 3] = rng.uniform(-0.5, 0.5, 3)
+    pts = np.zeros((0, 3))
+    while len(pts) < n:
+        m = 4 * n
+        cand = np.stack(
+            [rng.uniform(-3, 3, m), rng.uniform(-2, 2, m), rng.uniform(2.0, 9.0, m)], axis=1
+        )
+        uv, z = _project(cand, T, K)
+        ok = (z > 0.2) & (uv[:, 0] > 5) & (uv[:, 0] < 635) & (uv[:, 1] > 5) & (uv[:, 1] < 475)
+        pts = np.concatenate([pts, cand[ok]])[:n]
+    uv, _ = _project(pts, T, K)
+    if noise_px > 0:
+        uv = uv + rng.normal(0, noise_px, uv.shape)
+    if outlier_frac > 0:
+        n_out = int(n * outlier_frac)
+        idx = rng.choice(n, n_out, replace=False)
+        uv[idx] = rng.uniform([0, 0], [640, 480], size=(n_out, 2))
+    return PnPScene(pts, uv, T, K)
