@@ -1,0 +1,364 @@
+"""Two-view epipolar geometry: E/H estimation, pose recovery, triangulation.
+
+TPU-native replacement for ``/root/reference/src/geometry/
+epipolar_geometry.cpp``:
+
+- :func:`estimate_essential`       — cv::findEssentialMat RANSAC (:17-57),
+  as batched 8-point solves + vectorized inlier counting + consensus refit
+- :func:`recover_pose_from_E`      — cv::recoverPose (:53): SVD of E -> 4
+  candidate (R, t), cheirality vote by batched triangulation, unit-norm t
+- :func:`estimate_homography`      — cv::findHomography RANSAC (:106),
+  batched 4-point DLT
+- :func:`decompose_homography`     — cv::decomposeHomographyMat (:120):
+  Faugeras-Lustman SVD decomposition, 4 solutions, unit-norm t
+- :func:`homography_visible_filter`— cv::filterHomographyDecompByVisibleRefpoints
+  via n.x > 0 voting over inliers (:59-88)
+- :func:`triangulate`              — cv::triangulatePoints + homogeneous
+  divide (:130-175), batched per-correspondence DLT
+- :func:`epipolar_residuals`       — y2' [t]x R y1 residual (:184-209)
+
+All functions take fixed-capacity masked correspondence arrays and are
+jit/vmap-safe. Linear solves use Gram-matrix eigh (see ops.ransac).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from monocular_visual_odometry_tpu.ops import lie
+from monocular_visual_odometry_tpu.ops.ransac import (
+    hartley_normalize,
+    nullspace_via_eigh,
+    sample_minimal_sets,
+)
+
+_EPS = 1e-9
+
+
+# ---------------------------------------------------------------------------
+# essential matrix
+# ---------------------------------------------------------------------------
+
+
+def _eight_point(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+    """Batched 8-point algorithm on normalized-plane coords.
+
+    x1, x2: [..., M, 2] (M >= 8). Returns essential matrices [..., 3, 3]
+    projected onto the essential manifold (singular values (1, 1, 0)).
+    """
+    x1n, T1 = hartley_normalize(x1)
+    x2n, T2 = hartley_normalize(x2)
+    u1, v1 = x1n[..., 0], x1n[..., 1]
+    u2, v2 = x2n[..., 0], x2n[..., 1]
+    ones = jnp.ones_like(u1)
+    # constraint rows for x2^T E x1 = 0
+    A = jnp.stack(
+        [u2 * u1, u2 * v1, u2, v2 * u1, v2 * v1, v2, u1, v1, ones], axis=-1
+    )  # [..., M, 9]
+    e = nullspace_via_eigh(A)
+    En = e.reshape(e.shape[:-1] + (3, 3))
+    E = jnp.swapaxes(T2, -1, -2) @ En @ T1
+    # project to essential manifold
+    U, s, Vt = jnp.linalg.svd(E)
+    sm = (s[..., 0] + s[..., 1]) * 0.5
+    S = jnp.stack([sm, sm, jnp.zeros_like(sm)], axis=-1)
+    return (U * S[..., None, :]) @ Vt
+
+
+def _sym_epipolar_dist2(E: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+    """Symmetric squared point-line epipolar distance on the normalized
+    plane. E: [..., 3, 3]; x1, x2: [N, 2]. Returns [..., N]."""
+    h1 = jnp.concatenate([x1, jnp.ones_like(x1[..., :1])], axis=-1)  # [N,3]
+    h2 = jnp.concatenate([x2, jnp.ones_like(x2[..., :1])], axis=-1)
+    l2 = jnp.einsum("...ij,nj->...ni", E, h1)                        # line in view 2
+    l1 = jnp.einsum("...ji,nj->...ni", E, h2)                        # line in view 1
+    num = jnp.einsum("ni,...ni->...n", h2, l2)
+    d2_2 = num**2 / (l2[..., 0] ** 2 + l2[..., 1] ** 2 + _EPS)
+    d2_1 = num**2 / (l1[..., 0] ** 2 + l1[..., 1] ** 2 + _EPS)
+    return d2_1 + d2_2
+
+
+class RansacModel(NamedTuple):
+    model: jnp.ndarray        # [3,3] E or H
+    inliers: jnp.ndarray      # [N] bool
+    n_inliers: jnp.ndarray    # scalar int32
+
+
+def estimate_essential(
+    x1: jnp.ndarray, x2: jnp.ndarray, valid: jnp.ndarray, key: jax.Array,
+    *, threshold: float, n_hypotheses: int = 512,
+) -> RansacModel:
+    """RANSAC essential matrix from normalized-plane correspondences.
+
+    ``threshold`` is in normalized-plane units (the reference passes pixels
+    to cv::findEssentialMat with focal/pp so OpenCV divides internally; our
+    caller passes threshold_px / focal).  Fixed ``n_hypotheses`` batch,
+    then a consensus refit on the winner's inliers via masked Gram-matrix
+    8-point.
+    """
+    idx = sample_minimal_sets(key, valid, n_hypotheses, 8)     # [B,8]
+    Es = _eight_point(x1[idx], x2[idx])                        # [B,3,3]
+    d2 = _sym_epipolar_dist2(Es, x1, x2)                       # [B,N]
+    th2 = threshold * threshold
+    inl = (d2 < 2.0 * th2) & valid[None, :]
+    counts = jnp.sum(inl, axis=-1)
+    best = jnp.argmax(counts)
+    # Iterated consensus refit (LO-RANSAC-style, fixed 6 rounds). A refit
+    # can transiently *shrink* the gated set before expanding it (the
+    # minimal-sample model overfits its 8 points), so refits are applied
+    # unconditionally while the best (model, inliers) seen is tracked.
+    E_cur = Es[best]
+    inl_cur = inl[best]
+    E_best, inl_best, n_best = E_cur, inl_cur, counts[best]
+    for _ in range(6):
+        E_cur = _weighted_eight_point(x1, x2, inl_cur.astype(x1.dtype))
+        d2r = _sym_epipolar_dist2(E_cur, x1, x2)
+        inl_cur = (d2r < 2.0 * th2) & valid
+        n_cur = jnp.sum(inl_cur)
+        better = n_cur >= n_best
+        E_best = jnp.where(better, E_cur, E_best)
+        inl_best = jnp.where(better, inl_cur, inl_best)
+        n_best = jnp.maximum(n_cur, n_best)
+    return RansacModel(E_best, inl_best, n_best)
+
+
+def _weighted_eight_point(x1, x2, w):
+    """8-point over all correspondences with 0/1 weights (consensus refit)."""
+    x1n, T1 = hartley_normalize(x1, w > 0)
+    x2n, T2 = hartley_normalize(x2, w > 0)
+    u1, v1 = x1n[..., 0], x1n[..., 1]
+    u2, v2 = x2n[..., 0], x2n[..., 1]
+    A = jnp.stack(
+        [u2 * u1, u2 * v1, u2, v2 * u1, v2 * v1, v2, u1, v1, jnp.ones_like(u1)],
+        axis=-1,
+    ) * w[..., None]
+    e = nullspace_via_eigh(A)
+    En = e.reshape(3, 3)
+    E = T2.T @ En @ T1
+    U, s, Vt = jnp.linalg.svd(E)
+    sm = (s[0] + s[1]) * 0.5
+    return (U * jnp.asarray([sm, sm, 0.0])[None, :]) @ Vt
+
+
+def triangulate(x1: jnp.ndarray, x2: jnp.ndarray, T_2_1: jnp.ndarray) -> jnp.ndarray:
+    """Linear (DLT) triangulation of normalized-plane correspondences.
+
+    Camera 1 has projection [I|0]; camera 2 has ``T_2_1`` (maps frame-1
+    points into frame 2). Returns [N, 3] points in camera-1 frame.
+    Mirrors doTriangulation (epipolar_geometry.cpp:130-175).
+    """
+    P1 = jnp.eye(3, 4, dtype=x1.dtype)
+    P2 = T_2_1[:3, :]
+
+    def rows(P, x):
+        # two DLT rows per view:  x * P[2] - P[0],  y * P[2] - P[1]
+        return jnp.stack(
+            [x[..., 0:1] * P[2] - P[0], x[..., 1:2] * P[2] - P[1]], axis=-2
+        )
+
+    A = jnp.concatenate([rows(P1, x1), rows(P2, x2)], axis=-2)  # [N,4,4]
+    X = nullspace_via_eigh(A)                                   # [N,4]
+    w = X[..., 3]
+    sign = jnp.where(w < 0, -1.0, 1.0)
+    X = X * sign[..., None]
+    return X[..., :3] / (X[..., 3:4] + jnp.where(X[..., 3:4] >= 0, _EPS, -_EPS))
+
+
+def depths_in_two_views(pts1: jnp.ndarray, T_2_1: jnp.ndarray):
+    """z in camera 1 and camera 2 for frame-1 points."""
+    z1 = pts1[..., 2]
+    p2 = lie.transform_points(T_2_1, pts1)
+    return z1, p2[..., 2]
+
+
+def recover_pose_from_E(
+    E: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray, inliers: jnp.ndarray
+):
+    """cv::recoverPose: decompose E into 4 (R, t) candidates, pick by
+    cheirality vote over the inlier correspondences; t unit-normalized
+    (epipolar_geometry.cpp:53-56). Returns (R [3,3], t [3], n_good)."""
+    U, _, Vt = jnp.linalg.svd(E)
+    # enforce proper rotations
+    U = U * jnp.sign(jnp.linalg.det(U))
+    Vt = Vt * jnp.sign(jnp.linalg.det(Vt))
+    W = jnp.asarray([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], dtype=E.dtype)
+    R1 = U @ W @ Vt
+    R2 = U @ W.T @ Vt
+    t = U[:, 2]
+    t = t / (jnp.linalg.norm(t) + _EPS)
+
+    cand_R = jnp.stack([R1, R1, R2, R2])          # [4,3,3]
+    cand_t = jnp.stack([t, -t, t, -t])            # [4,3]
+    Ts = jax.vmap(lie.rt_to_T)(cand_R, cand_t)    # [4,4,4]
+
+    def count_good(T):
+        pts1 = triangulate(x1, x2, T)
+        z1, z2 = depths_in_two_views(pts1, T)
+        ok = (z1 > 0) & (z2 > 0) & inliers
+        return jnp.sum(ok)
+
+    votes = jax.vmap(count_good)(Ts)
+    best = jnp.argmax(votes)
+    return cand_R[best], cand_t[best], votes[best]
+
+
+# ---------------------------------------------------------------------------
+# homography
+# ---------------------------------------------------------------------------
+
+
+def _four_point_h(p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
+    """Batched 4-point DLT homography (pixels). p1,p2: [..., M, 2] (M>=4).
+    Returns [..., 3, 3] with p2 ~ H p1."""
+    p1n, T1 = hartley_normalize(p1)
+    p2n, T2 = hartley_normalize(p2)
+    u1, v1 = p1n[..., 0], p1n[..., 1]
+    u2, v2 = p2n[..., 0], p2n[..., 1]
+    z = jnp.zeros_like(u1)
+    o = jnp.ones_like(u1)
+    r1 = jnp.stack([-u1, -v1, -o, z, z, z, u2 * u1, u2 * v1, u2], axis=-1)
+    r2 = jnp.stack([z, z, z, -u1, -v1, -o, v2 * u1, v2 * v1, v2], axis=-1)
+    A = jnp.concatenate([r1, r2], axis=-2)  # [..., 2M, 9]
+    h = nullspace_via_eigh(A)
+    Hn = h.reshape(h.shape[:-1] + (3, 3))
+    H = jnp.linalg.inv(T2) @ Hn @ T1
+    return H / (H[..., 2:3, 2:3] + _EPS)
+
+
+def _sym_transfer_dist2(H: jnp.ndarray, p1: jnp.ndarray, p2: jnp.ndarray):
+    """Symmetric transfer squared distances for H (pixels). Returns [..., N]
+    as the max of forward/backward squared errors (conservative gate)."""
+    Hinv = jnp.linalg.inv(H)
+
+    def transfer(M, p):
+        h = jnp.concatenate([p, jnp.ones_like(p[..., :1])], axis=-1)
+        q = jnp.einsum("...ij,nj->...ni", M, h)
+        return q[..., :2] / (q[..., 2:3] + jnp.where(q[..., 2:3] >= 0, _EPS, -_EPS))
+
+    e12 = jnp.sum((transfer(H, p1) - p2) ** 2, axis=-1)
+    e21 = jnp.sum((transfer(Hinv, p2) - p1) ** 2, axis=-1)
+    return jnp.maximum(e12, e21)
+
+
+def estimate_homography(
+    p1: jnp.ndarray, p2: jnp.ndarray, valid: jnp.ndarray, key: jax.Array,
+    *, threshold_px: float = 3.0, n_hypotheses: int = 512,
+) -> RansacModel:
+    """RANSAC homography from pixel correspondences
+    (cv::findHomography with ransacReprojThreshold=3,
+    epipolar_geometry.cpp:106)."""
+    idx = sample_minimal_sets(key, valid, n_hypotheses, 4)
+    Hs = _four_point_h(p1[idx], p2[idx])
+    d2 = _sym_transfer_dist2(Hs, p1, p2)
+    inl = (d2 < threshold_px * threshold_px) & valid[None, :]
+    counts = jnp.sum(inl, axis=-1)
+    best = jnp.argmax(counts)
+    H_cur = Hs[best]
+    inl_cur = inl[best]
+    H_best, inl_best, n_best = H_cur, inl_cur, counts[best]
+    for _ in range(6):
+        H_cur = _weighted_h(p1, p2, inl_cur.astype(p1.dtype))
+        d2r = _sym_transfer_dist2(H_cur, p1, p2)
+        inl_cur = (d2r < threshold_px * threshold_px) & valid
+        n_cur = jnp.sum(inl_cur)
+        better = n_cur >= n_best
+        H_best = jnp.where(better, H_cur, H_best)
+        inl_best = jnp.where(better, inl_cur, inl_best)
+        n_best = jnp.maximum(n_cur, n_best)
+    return RansacModel(H_best, inl_best, n_best)
+
+
+def _weighted_h(p1, p2, w):
+    p1n, T1 = hartley_normalize(p1, w > 0)
+    p2n, T2 = hartley_normalize(p2, w > 0)
+    u1, v1 = p1n[..., 0], p1n[..., 1]
+    u2, v2 = p2n[..., 0], p2n[..., 1]
+    z = jnp.zeros_like(u1)
+    o = jnp.ones_like(u1)
+    r1 = jnp.stack([-u1, -v1, -o, z, z, z, u2 * u1, u2 * v1, u2], axis=-1) * w[..., None]
+    r2 = jnp.stack([z, z, z, -u1, -v1, -o, v2 * u1, v2 * v1, v2], axis=-1) * w[..., None]
+    A = jnp.concatenate([r1, r2], axis=-2)
+    h = nullspace_via_eigh(A)
+    Hn = h.reshape(3, 3)
+    H = jnp.linalg.inv(T2) @ Hn @ T1
+    return H / (H[2, 2] + _EPS)
+
+
+def decompose_homography(H: jnp.ndarray, K: jnp.ndarray):
+    """Faugeras-Lustman decomposition of a pixel homography into 4 candidate
+    (R, t, n) with t unit-normalized (cv::decomposeHomographyMat +
+    the reference's t normalization, epipolar_geometry.cpp:120-127).
+
+    Returns (Rs [4,3,3], ts [4,3], ns [4,3], valid4 [4] bool).
+    ``valid4`` is False for the (near-)pure-rotation degenerate case where
+    the scaled homography has (almost) equal singular values.
+    """
+    Kinv = jnp.linalg.inv(K)
+    Hn = Kinv @ H @ K
+    U, s, Vt = jnp.linalg.svd(Hn)
+    d1, d2, d3 = s[0], s[1], s[2]
+    detUV = jnp.linalg.det(U) * jnp.linalg.det(Vt)
+    # work with H' = s*H/d2 so that the middle singular value is 1
+    distinct = (d1 / (d2 + _EPS) - 1.0 > 1e-4) | (1.0 - d3 / (d2 + _EPS) > 1e-4)
+
+    x1_sq = (d1 * d1 - d2 * d2) / jnp.maximum(d1 * d1 - d3 * d3, _EPS)
+    x3_sq = (d2 * d2 - d3 * d3) / jnp.maximum(d1 * d1 - d3 * d3, _EPS)
+    x1 = jnp.sqrt(jnp.clip(x1_sq, 0.0, 1.0))
+    x3 = jnp.sqrt(jnp.clip(x3_sq, 0.0, 1.0))
+
+    sin_t = (d1 - d3) * x1 * x3 / jnp.maximum(d2, _EPS)
+    cos_t = (d1 * x3_sq + d3 * x1_sq) / jnp.maximum(d2, _EPS)
+
+    def solution(e1, e3):
+        st = e1 * e3 * sin_t
+        Rp = jnp.asarray(
+            [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]], dtype=H.dtype
+        )
+        Rp = Rp.at[0, 0].set(cos_t).at[0, 2].set(-st).at[2, 0].set(st).at[2, 2].set(cos_t)
+        npp = jnp.stack([e1 * x1, jnp.zeros_like(x1), e3 * x3])
+        tp = (d1 - d3) * jnp.stack([e1 * x1, jnp.zeros_like(x1), -e3 * x3])
+        R = detUV * (U @ Rp @ Vt)
+        t = U @ tp
+        nvec = Vt.T @ npp
+        # convention: plane normal points toward camera 1 (n_z > 0 wanted by
+        # the reference's max-|n_z| pick either way)
+        t = t / (jnp.linalg.norm(t) + _EPS)
+        return R, t, nvec
+
+    Rs, ts, ns = [], [], []
+    for e1 in (1.0, -1.0):
+        for e3 in (1.0, -1.0):
+            R, t, nv = solution(e1, e3)
+            Rs.append(R)
+            ts.append(t)
+            ns.append(nv)
+    valid4 = jnp.broadcast_to(distinct, (4,))
+    return jnp.stack(Rs), jnp.stack(ts), jnp.stack(ns), valid4
+
+
+def homography_visible_filter(ns: jnp.ndarray, x1: jnp.ndarray,
+                              inliers: jnp.ndarray) -> jnp.ndarray:
+    """cv::filterHomographyDecompByVisibleRefpoints analogue: a solution is
+    plausible if the plane normal has the reference points on its visible
+    side (n . [x, y, 1] > 0) for (almost) all inlier points.
+
+    ns: [4,3] normals; x1: [N,2] normalized-plane points in view 1.
+    Returns [4] bool."""
+    h1 = jnp.concatenate([x1, jnp.ones_like(x1[..., :1])], axis=-1)  # [N,3]
+    dots = jnp.einsum("kj,nj->kn", ns, h1)
+    n_in = jnp.maximum(jnp.sum(inliers), 1)
+    frac_pos = jnp.sum((dots > 0) & inliers[None, :], axis=-1) / n_in
+    return frac_pos > 0.9
+
+
+def epipolar_residuals(x1: jnp.ndarray, x2: jnp.ndarray, R: jnp.ndarray,
+                       t: jnp.ndarray) -> jnp.ndarray:
+    """Algebraic epipolar constraint error y2^T [t]x R y1 per correspondence
+    (computeEpipolarConsError, epipolar_geometry.cpp:184-209)."""
+    E = lie.hat(t) @ R
+    h1 = jnp.concatenate([x1, jnp.ones_like(x1[..., :1])], axis=-1)
+    h2 = jnp.concatenate([x2, jnp.ones_like(x2[..., :1])], axis=-1)
+    return jnp.einsum("ni,ij,nj->n", h2, E, h1)

@@ -1,0 +1,153 @@
+"""Two-view relative-pose estimation with E/H model selection.
+
+TPU-native replacement for the reference's "giant function"
+``helperEstimatePossibleRelativePosesByEpipolarGeometry``
+(``/root/reference/src/geometry/motion_estimation.cpp:11-157``) and its
+satellites ``helperFindInlierMatchesByEpipolarCons`` (:182-198) and
+``helperTriangulatePoints`` (:202-247):
+
+1. run RANSAC for the essential matrix AND the homography,
+2. recover candidate (R, t) from each (1 from E, up to 4 from H with
+   cheirality pruning),
+3. score E and H with the ORB-SLAM symmetric transfer errors,
+4. pick H when score_H/(score_E+score_H) > 0.5, choosing the H solution
+   with the largest |normal_z| (:139-154),
+5. triangulate the winning model's inliers.
+
+Instead of the reference's per-solution std::vector plumbing, every
+candidate is evaluated in a fixed [5]-slot batch (1 E + 4 H) and the
+winner is selected with masked argmax — no data-dependent control flow.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from monocular_visual_odometry_tpu.ops import epipolar as epi
+from monocular_visual_odometry_tpu.ops import lie, scoring
+from monocular_visual_odometry_tpu.ops.camera import Camera, pixel2cam_norm_plane
+
+
+class TwoViewResult(NamedTuple):
+    R: jnp.ndarray          # [3,3] rotation frame1 -> frame2 (T_2_1)
+    t: jnp.ndarray          # [3] unit translation
+    inliers: jnp.ndarray    # [N] bool (winning model, score-refined)
+    pts3d_c1: jnp.ndarray   # [N,3] triangulated points in camera-1 frame
+    used_homography: jnp.ndarray  # scalar bool
+    score_e: jnp.ndarray
+    score_h: jnp.ndarray
+    E: jnp.ndarray          # [3,3]
+    H: jnp.ndarray          # [3,3]
+    plane_normal: jnp.ndarray  # [3] (H winner's normal; zeros if E used)
+
+    @property
+    def T_2_1(self) -> jnp.ndarray:
+        return lie.rt_to_T(self.R, self.t)
+
+
+def estimate_relative_pose(
+    uv1: jnp.ndarray, uv2: jnp.ndarray, valid: jnp.ndarray,
+    cam: Camera, key: jax.Array,
+    *, threshold_px: float = 1.0, h_threshold_px: float = 3.0,
+    n_hypotheses: int = 512, sigma: float = 1.0,
+) -> TwoViewResult:
+    """Full E/H dual estimation + model selection on matched pixel
+    correspondences (fixed capacity N, ``valid`` mask)."""
+    x1 = pixel2cam_norm_plane(uv1, cam)
+    x2 = pixel2cam_norm_plane(uv2, cam)
+    K = cam.K
+    focal = (cam.fx + cam.fy) * 0.5
+    k_e, k_h = jax.random.split(key)
+
+    # --- essential path (estiMotionByEssential, epipolar_geometry.cpp:17-57)
+    e_model = epi.estimate_essential(
+        x1, x2, valid, k_e, threshold=threshold_px / focal, n_hypotheses=n_hypotheses
+    )
+    R_e, t_e, _ = epi.recover_pose_from_E(e_model.model, x1, x2, e_model.inliers)
+
+    # --- homography path (estiMotionByHomography, :90-128)
+    h_model = epi.estimate_homography(
+        uv1, uv2, valid, k_h, threshold_px=h_threshold_px, n_hypotheses=n_hypotheses
+    )
+    Rs_h, ts_h, ns_h, valid4 = epi.decompose_homography(h_model.model, K)
+    visible4 = epi.homography_visible_filter(ns_h, x1, h_model.inliers)
+    ok4 = valid4 & visible4
+
+    # --- scores (checkEssentialScore / checkHomographyScore, :501-664)
+    Kinv = jnp.linalg.inv(K)
+    F = Kinv.T @ e_model.model @ Kinv
+    se = scoring.essential_score(F, uv1, uv2, e_model.inliers, sigma)
+    sh = scoring.homography_score(h_model.model, uv1, uv2, h_model.inliers, sigma)
+
+    any_h = jnp.any(ok4)
+    use_h = scoring.prefer_homography(se.score, sh.score) & any_h
+
+    # best H solution: max |n_z| among surviving (motion_estimation.cpp:142-154)
+    nz = jnp.where(ok4, jnp.abs(ns_h[:, 2]), -1.0)
+    h_best = jnp.argmax(nz)
+
+    R = jnp.where(use_h, Rs_h[h_best], R_e)
+    t = jnp.where(use_h, ts_h[h_best], t_e)
+    inl = jnp.where(use_h, sh.inliers, se.inliers)
+
+    # --- triangulate winner (doTriangulation per solution, :107-112)
+    T_2_1 = lie.rt_to_T(R, t)
+    pts3d = epi.triangulate(x1, x2, T_2_1)
+    z1, z2 = epi.depths_in_two_views(pts3d, T_2_1)
+    inl = inl & (z1 > 0) & (z2 > 0)
+
+    return TwoViewResult(
+        R=R, t=t, inliers=inl, pts3d_c1=pts3d,
+        used_homography=use_h, score_e=se.score, score_h=sh.score,
+        E=e_model.model, H=h_model.model,
+        plane_normal=jnp.where(use_h, ns_h[h_best], jnp.zeros(3, dtype=uv1.dtype)),
+    )
+
+
+def find_inlier_matches_by_epipolar(
+    uv1: jnp.ndarray, uv2: jnp.ndarray, valid: jnp.ndarray,
+    cam: Camera, key: jax.Array,
+    *, threshold_px: float = 1.0, n_hypotheses: int = 256,
+) -> jnp.ndarray:
+    """E-RANSAC used purely as an outlier filter for the tracking-time
+    triangulation stage (helperFindInlierMatchesByEpipolarCons,
+    motion_estimation.cpp:182-198). Returns [N] bool."""
+    x1 = pixel2cam_norm_plane(uv1, cam)
+    x2 = pixel2cam_norm_plane(uv2, cam)
+    focal = (cam.fx + cam.fy) * 0.5
+    m = epi.estimate_essential(
+        x1, x2, valid, key, threshold=threshold_px / focal, n_hypotheses=n_hypotheses
+    )
+    return m.inliers
+
+
+def triangulate_with_pose(
+    uv1: jnp.ndarray, uv2: jnp.ndarray, valid: jnp.ndarray,
+    cam: Camera, T_w_c1: jnp.ndarray, T_w_c2: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Triangulate matches using the *known* relative pose from tracking
+    (helperTriangulatePoints, motion_estimation.cpp:202-247).
+
+    Returns (pts3d in WORLD frame [N,3], ok mask [N] — valid & positive
+    depth in both views)."""
+    x1 = pixel2cam_norm_plane(uv1, cam)
+    x2 = pixel2cam_norm_plane(uv2, cam)
+    T_2_1 = lie.relative_T(T_w_c2, T_w_c1)
+    pts_c1 = epi.triangulate(x1, x2, T_2_1)
+    z1, z2 = epi.depths_in_two_views(pts_c1, T_2_1)
+    ok = valid & (z1 > 0) & (z2 > 0)
+    pts_w = lie.transform_points(T_w_c1, pts_c1)
+    return pts_w, ok
+
+
+def triangulation_angles(pts3d_c1: jnp.ndarray, T_2_1: jnp.ndarray) -> jnp.ndarray:
+    """Parallax angle (radians) between the two viewing rays per point
+    (getViewAngle_ analogue used for the angle filter, vo.cpp:578-584)."""
+    c1 = jnp.zeros(3, dtype=pts3d_c1.dtype)
+    c2 = lie.inv_T(T_2_1)[:3, 3]  # camera-2 center in frame 1
+    v1 = pts3d_c1 - c1
+    v2 = pts3d_c1 - c2[None, :]
+    return lie.angle_between(v1, v2)

@@ -1,0 +1,227 @@
+"""Two-view geometry tests against exact synthetic ground truth and the
+OpenCV oracle (cv2 is used ONLY as a test oracle, never in the compute
+path)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from monocular_visual_odometry_tpu.data import synthetic as syn
+from monocular_visual_odometry_tpu.ops import epipolar as epi
+from monocular_visual_odometry_tpu.ops import lie, twoview
+from monocular_visual_odometry_tpu.ops.camera import Camera, pixel2cam_norm_plane
+
+
+def _norm_plane(uv, K):
+    return (uv - K[[0, 1], [2, 2]]) / K[[0, 1], [0, 1]]
+
+
+def _pose_errors(R_est, t_est, T_gt_21):
+    R_gt, t_gt = T_gt_21[:3, :3], T_gt_21[:3, 3]
+    t_gt = t_gt / np.linalg.norm(t_gt)
+    rot_err = np.degrees(
+        np.arccos(np.clip((np.trace(R_est.T @ R_gt) - 1) / 2, -1, 1))
+    )
+    t_err = np.degrees(
+        np.arccos(np.clip(abs(np.dot(t_est, t_gt)), -1, 1))
+    )
+    return rot_err, t_err
+
+
+def _pad(arr, n, fill=0.0):
+    out = np.full((n,) + arr.shape[1:], fill, dtype=np.float32)
+    out[: len(arr)] = arr
+    return out
+
+
+class TestEssential:
+    def test_clean_correspondences(self):
+        sc = syn.synthesize_two_view(n=200, seed=0)
+        x1 = jnp.asarray(_norm_plane(sc.uv1, sc.K), dtype=jnp.float32)
+        x2 = jnp.asarray(_norm_plane(sc.uv2, sc.K), dtype=jnp.float32)
+        valid = jnp.ones(200, bool)
+        m = epi.estimate_essential(x1, x2, valid, jax.random.PRNGKey(0),
+                                   threshold=1.0 / 615.0)
+        assert int(m.n_inliers) > 180
+        R, t, good = epi.recover_pose_from_E(m.model, x1, x2, m.inliers)
+        T_21 = np.linalg.inv(sc.T_c1_c2)
+        rot_err, t_err = _pose_errors(np.asarray(R), np.asarray(t), T_21)
+        assert rot_err < 0.5, rot_err
+        assert t_err < 2.0, t_err
+
+    def test_with_noise_and_outliers(self):
+        sc = syn.synthesize_two_view(n=300, seed=1, noise_px=0.5, outlier_frac=0.3)
+        x1 = jnp.asarray(_norm_plane(sc.uv1, sc.K), dtype=jnp.float32)
+        x2 = jnp.asarray(_norm_plane(sc.uv2, sc.K), dtype=jnp.float32)
+        valid = jnp.ones(300, bool)
+        m = epi.estimate_essential(x1, x2, valid, jax.random.PRNGKey(1),
+                                   threshold=1.5 / 615.0)
+        inl = np.asarray(m.inliers)
+        # outliers were injected in the last-sampled 30%: inlier set must be
+        # dominated by true inliers
+        assert int(m.n_inliers) > 140
+        R, t, _ = epi.recover_pose_from_E(m.model, x1, x2, m.inliers)
+        rot_err, t_err = _pose_errors(np.asarray(R), np.asarray(t),
+                                      np.linalg.inv(sc.T_c1_c2))
+        assert rot_err < 1.5, rot_err
+        assert t_err < 5.0, t_err
+
+    def test_masked_slots_ignored(self):
+        sc = syn.synthesize_two_view(n=100, seed=2)
+        N = 160
+        x1 = jnp.asarray(_pad(_norm_plane(sc.uv1, sc.K), N))
+        x2 = jnp.asarray(_pad(_norm_plane(sc.uv2, sc.K), N))
+        valid = jnp.asarray([True] * 100 + [False] * 60)
+        m = epi.estimate_essential(x1, x2, valid, jax.random.PRNGKey(0),
+                                   threshold=1.0 / 615.0)
+        assert not np.asarray(m.inliers)[100:].any()
+        assert int(m.n_inliers) > 90
+
+    def test_against_opencv(self):
+        cv2 = pytest.importorskip("cv2")
+        sc = syn.synthesize_two_view(n=200, seed=3, noise_px=0.3)
+        x1 = _norm_plane(sc.uv1, sc.K)
+        x2 = _norm_plane(sc.uv2, sc.K)
+        E_cv, _ = cv2.findEssentialMat(x1, x2, focal=1.0, pp=(0, 0),
+                                       method=cv2.RANSAC, threshold=1.0 / 615)
+        m = epi.estimate_essential(jnp.asarray(x1, dtype=jnp.float32),
+                                   jnp.asarray(x2, dtype=jnp.float32),
+                                   jnp.ones(200, bool), jax.random.PRNGKey(0),
+                                   threshold=1.0 / 615.0)
+        # compare recovered poses (elementwise E comparison is ill-posed
+        # under noise): both must land near each other and near GT
+        _, R_cv, t_cv, _ = cv2.recoverPose(E_cv, x1, x2)
+        R_ours, t_ours, _ = epi.recover_pose_from_E(
+            m.model, jnp.asarray(x1, dtype=jnp.float32),
+            jnp.asarray(x2, dtype=jnp.float32), m.inliers)
+        dR = np.asarray(R_ours) @ R_cv.T
+        rot_gap = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+        t_gap = np.degrees(np.arccos(np.clip(
+            abs(float(np.dot(np.asarray(t_ours), t_cv.ravel()))), -1, 1)))
+        assert rot_gap < 1.0, rot_gap
+        assert t_gap < 3.0, t_gap
+
+
+class TestTriangulation:
+    def test_exact_recovery(self):
+        sc = syn.synthesize_two_view(n=150, seed=4)
+        T_21 = np.linalg.inv(sc.T_c1_c2)
+        x1 = jnp.asarray(_norm_plane(sc.uv1, sc.K), dtype=jnp.float32)
+        x2 = jnp.asarray(_norm_plane(sc.uv2, sc.K), dtype=jnp.float32)
+        pts = np.asarray(epi.triangulate(x1, x2, jnp.asarray(T_21, dtype=jnp.float32)))
+        # camera 1 == world here
+        np.testing.assert_allclose(pts, sc.pts_w, atol=2e-2)
+
+    def test_against_opencv(self):
+        cv2 = pytest.importorskip("cv2")
+        sc = syn.synthesize_two_view(n=50, seed=5)
+        T_21 = np.linalg.inv(sc.T_c1_c2)
+        x1 = _norm_plane(sc.uv1, sc.K)
+        x2 = _norm_plane(sc.uv2, sc.K)
+        P1 = np.eye(3, 4)
+        P2 = T_21[:3, :]
+        X = cv2.triangulatePoints(P1, P2, x1.T, x2.T)
+        X = (X[:3] / X[3]).T
+        ours = np.asarray(epi.triangulate(jnp.asarray(x1, dtype=jnp.float32),
+                                          jnp.asarray(x2, dtype=jnp.float32),
+                                          jnp.asarray(T_21, dtype=jnp.float32)))
+        np.testing.assert_allclose(ours, X, atol=2e-2)
+
+
+class TestHomography:
+    def test_planar_recovery(self):
+        sc = syn.synthesize_two_view(n=200, seed=6, planar=True)
+        uv1 = jnp.asarray(sc.uv1, dtype=jnp.float32)
+        uv2 = jnp.asarray(sc.uv2, dtype=jnp.float32)
+        m = epi.estimate_homography(uv1, uv2, jnp.ones(200, bool),
+                                    jax.random.PRNGKey(0))
+        assert int(m.n_inliers) > 180
+        Rs, ts, ns, valid4 = epi.decompose_homography(m.model, jnp.asarray(sc.K, dtype=jnp.float32))
+        assert bool(valid4.any())
+        T_21 = np.linalg.inv(sc.T_c1_c2)
+        errs = [
+            _pose_errors(np.asarray(Rs[i]), np.asarray(ts[i]), T_21)
+            for i in range(4)
+        ]
+        best = min(errs, key=lambda e: e[0] + e[1])
+        assert best[0] < 1.0, errs
+        assert best[1] < 3.0, errs
+
+    def test_visible_filter_keeps_true_solution(self):
+        sc = syn.synthesize_two_view(n=200, seed=7, planar=True)
+        uv1 = jnp.asarray(sc.uv1, dtype=jnp.float32)
+        uv2 = jnp.asarray(sc.uv2, dtype=jnp.float32)
+        m = epi.estimate_homography(uv1, uv2, jnp.ones(200, bool), jax.random.PRNGKey(0))
+        Rs, ts, ns, valid4 = epi.decompose_homography(m.model, jnp.asarray(sc.K, dtype=jnp.float32))
+        x1 = jnp.asarray(_norm_plane(sc.uv1, sc.K), dtype=jnp.float32)
+        vis = epi.homography_visible_filter(ns, x1, m.inliers)
+        keep = np.asarray(valid4 & vis)
+        assert keep.any()
+        T_21 = np.linalg.inv(sc.T_c1_c2)
+        errs = [_pose_errors(np.asarray(Rs[i]), np.asarray(ts[i]), T_21)[0]
+                for i in range(4) if keep[i]]
+        assert min(errs) < 1.0
+
+
+class TestModelSelection:
+    def _run(self, planar, seed):
+        sc = syn.synthesize_two_view(n=256, seed=seed, planar=planar, noise_px=0.3)
+        cam = Camera.create(sc.K[0, 0], sc.K[1, 1], sc.K[0, 2], sc.K[1, 2])
+        res = twoview.estimate_relative_pose(
+            jnp.asarray(sc.uv1, dtype=jnp.float32),
+            jnp.asarray(sc.uv2, dtype=jnp.float32),
+            jnp.ones(256, bool), cam, jax.random.PRNGKey(seed),
+        )
+        return sc, res
+
+    def test_general_scene_picks_E_and_recovers_pose(self):
+        sc, res = self._run(planar=False, seed=8)
+        T_21 = np.linalg.inv(sc.T_c1_c2)
+        rot_err, t_err = _pose_errors(np.asarray(res.R), np.asarray(res.t), T_21)
+        assert rot_err < 1.0, rot_err
+        assert t_err < 5.0, t_err
+        assert int(jnp.sum(res.inliers)) > 150
+        assert not bool(res.used_homography)
+
+    def test_planar_scene_picks_H_and_recovers_pose(self):
+        sc, res = self._run(planar=True, seed=9)
+        T_21 = np.linalg.inv(sc.T_c1_c2)
+        rot_err, t_err = _pose_errors(np.asarray(res.R), np.asarray(res.t), T_21)
+        assert bool(res.used_homography)
+        assert rot_err < 1.5, rot_err
+        assert t_err < 6.0, t_err
+
+    def test_triangulated_points_match_gt_scale(self):
+        sc, res = self._run(planar=False, seed=10)
+        inl = np.asarray(res.inliers)
+        pts = np.asarray(res.pts3d_c1)[inl]
+        gt = sc.pts_w[inl]
+        # t is unit-norm, GT baseline is not: compare up to one global scale.
+        # 0.3px noise at depth 5-9 leaves a long error tail; gate the bulk.
+        s = np.median(gt[:, 2]) / np.median(pts[:, 2])
+        err = np.abs(pts * s - gt)
+        assert np.median(err) < 0.05
+        assert np.percentile(err, 95) < 0.3
+
+    def test_angles(self):
+        sc, res = self._run(planar=False, seed=11)
+        T_21 = jnp.asarray(np.linalg.inv(sc.T_c1_c2), dtype=jnp.float32)
+        ang = np.asarray(twoview.triangulation_angles(
+            jnp.asarray(sc.pts_w, dtype=jnp.float32), T_21))
+        assert (ang > 0).all()
+        assert np.degrees(np.median(ang)) > 1.0  # baseline 0.3 at depth ~5
+
+
+def test_epipolar_residuals_zero_on_gt():
+    sc = syn.synthesize_two_view(n=50, seed=12)
+    T_21 = np.linalg.inv(sc.T_c1_c2)
+    r = np.asarray(
+        epi.epipolar_residuals(
+            jnp.asarray(_norm_plane(sc.uv1, sc.K), dtype=jnp.float32),
+            jnp.asarray(_norm_plane(sc.uv2, sc.K), dtype=jnp.float32),
+            jnp.asarray(T_21[:3, :3], dtype=jnp.float32),
+            jnp.asarray(T_21[:3, 3], dtype=jnp.float32),
+        )
+    )
+    assert np.abs(r).max() < 1e-4
