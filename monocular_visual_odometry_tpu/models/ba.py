@@ -1,0 +1,267 @@
+"""Sliding-window bundle adjustment with per-point Schur complement.
+
+TPU-native replacement for the reference's g2o Levenberg-Marquardt BA
+(``/root/reference/src/optimization/g2o_ba.cpp:172-317``): SE3 pose
+vertices, marginalized XYZ landmark vertices, UV reprojection edges with a
+2x2 information matrix and Huber kernel, BlockSolver<6,3>, 50 LM
+iterations, optional fixed landmarks (``is_ba_fix_map_points``), driven by
+``callBundleAdjustment_`` (``vo.cpp:384-478``) over the last
+``num_prev_frames_to_opti_by_ba`` frames of the 20-frame buffer.
+
+TPU formulation (SURVEY.md §8.1):
+- observations are the dense [W, K] grid of (ring keypoint, PtConn link)
+  pairs with a validity mask — no graph construction;
+- analytic Jacobians; per-point 3x3 Hessian blocks reduced by the Schur
+  complement (vmapped batched 3x3 inverses);
+- the reduced camera system is a dense [6W, 6W] solve (W<=20);
+- Huber robustness via IRLS weights;
+- everything is one jit-compiled LM loop (lax.scan) with fixed iteration
+  count — poses and points come back as new arrays (the reference wrote
+  through raw pointers, g2o_ba.cpp:297-316).
+
+The distributed variant (parallel.dist_ba) shards the point blocks over a
+device mesh and psums the reduced camera system — the per-point Schur
+reduction is embarrassingly parallel (SURVEY.md §5.7).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from monocular_visual_odometry_tpu.models import state as S
+from monocular_visual_odometry_tpu.ops import lie
+from monocular_visual_odometry_tpu.ops.camera import Camera
+from monocular_visual_odometry_tpu.utils.config import VOConfig
+
+
+class BAProblem(NamedTuple):
+    """Fixed-shape windowed BA problem extracted from VO state."""
+
+    T_c_w: jnp.ndarray     # [W,4,4] camera-from-world per window frame
+    obs_uv: jnp.ndarray    # [W,K,2] observed pixels
+    obs_pid: jnp.ndarray   # [W,K] int32 map-point index (clipped, see mask)
+    obs_valid: jnp.ndarray # [W,K] bool
+    pts: jnp.ndarray       # [M,3] landmark positions
+    pt_used: jnp.ndarray   # [M] bool — observed by some window frame
+    frame_valid: jnp.ndarray  # [W] bool
+
+
+def gather_window(cfg: VOConfig, st: S.VOState) -> tuple[BAProblem, jnp.ndarray]:
+    """Extract the last `window` frames from the ring buffer
+    (callBundleAdjustment_'s frame collection, vo.cpp:395-453).
+    Also returns the ring slots [W] for write-back (newest first)."""
+    W = cfg.ba.window
+    F = cfg.map.frame_buffer
+    j = jnp.arange(W, dtype=jnp.int32)
+    frame_ids = st.frame_idx - 1 - j                 # newest first
+    slots = jnp.mod(frame_ids, F)
+    frame_valid = (frame_ids >= 0) & st.ring.occupied[slots]
+
+    poses_w_c = st.ring.poses[slots]                 # [W,4,4]
+    T_c_w = jax.vmap(lie.inv_T)(poses_w_c)
+    obs_uv = st.ring.kpts[slots]                     # [W,K,2]
+    pid = st.ring.mp_idx[slots]                      # [W,K]
+    valid = (
+        frame_valid[:, None]
+        & (pid >= 0)
+        & st.map.valid[jnp.clip(pid, 0, st.map.valid.shape[0] - 1)]
+    )
+    pid_safe = jnp.clip(pid, 0, st.map.valid.shape[0] - 1)
+    M = st.map.valid.shape[0]
+    pt_used = jnp.zeros(M, bool).at[pid_safe.reshape(-1)].max(valid.reshape(-1))
+    return (
+        BAProblem(T_c_w=T_c_w, obs_uv=obs_uv, obs_pid=pid_safe,
+                  obs_valid=valid, pts=st.map.pts, pt_used=pt_used,
+                  frame_valid=frame_valid),
+        slots,
+    )
+
+
+def _residuals_and_jacobians(prob: BAProblem, cam: Camera, info: jnp.ndarray):
+    """Residuals [W,K,2], pose Jacobians [W,K,2,6], point Jacobians
+    [W,K,2,3], all premultiplied by sqrt-information via weighting later.
+    Left-multiplicative se(3) perturbation on T_c_w, as in ops.pnp."""
+    R = prob.T_c_w[:, :3, :3]                        # [W,3,3]
+    t = prob.T_c_w[:, :3, 3]                         # [W,3]
+    X = prob.pts[prob.obs_pid]                       # [W,K,3]
+    p = jnp.einsum("wij,wkj->wki", R, X) + t[:, None, :]
+    z = jnp.maximum(p[..., 2], 1e-6)
+    inv_z = 1.0 / z
+    u = p[..., 0] * inv_z * cam.fx + cam.cx
+    v = p[..., 1] * inv_z * cam.fy + cam.cy
+    r = jnp.stack([u - prob.obs_uv[..., 0], v - prob.obs_uv[..., 1]], axis=-1)
+
+    du_dp = jnp.stack(
+        [cam.fx * inv_z, jnp.zeros_like(z), -cam.fx * p[..., 0] * inv_z**2], axis=-1)
+    dv_dp = jnp.stack(
+        [jnp.zeros_like(z), cam.fy * inv_z, -cam.fy * p[..., 1] * inv_z**2], axis=-1)
+    J_proj = jnp.stack([du_dp, dv_dp], axis=-2)      # [W,K,2,3]
+
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=p.dtype), p.shape + (3,))
+    dp_dxi = jnp.concatenate([eye, -lie.hat(p)], axis=-1)   # [W,K,3,6]
+    J_pose = J_proj @ dp_dxi                                 # [W,K,2,6]
+    J_pt = J_proj @ R[:, None, :, :]                         # [W,K,2,3]
+    return r, J_pose, J_pt
+
+
+def _robust_weights(r: jnp.ndarray, valid: jnp.ndarray, info: jnp.ndarray,
+                    huber: float) -> jnp.ndarray:
+    """IRLS scalar weight per observation: information-weighted Huber
+    (g2o's RobustKernelHuber + 2x2 information, g2o_ba.cpp:255-266)."""
+    # info is [2,2]; use its diagonal as per-axis weights, Huber on the
+    # weighted norm
+    e2 = (r[..., 0] ** 2 * info[0, 0] + r[..., 1] ** 2 * info[1, 1]
+          + 2.0 * r[..., 0] * r[..., 1] * info[0, 1])
+    e = jnp.sqrt(jnp.maximum(e2, 1e-12))
+    w = jnp.where(e <= huber, 1.0, huber / e)
+    return jnp.where(valid, w, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def ba_solve(cfg: VOConfig, cam: Camera, prob: BAProblem):
+    """Run the windowed LM and return (new T_c_w [W,4,4], new pts [M,3]).
+
+    When cfg.ba.fix_map_points (the reference default), the Schur step is
+    skipped and the camera system is block-diagonal. Otherwise landmark
+    blocks are eliminated per point and recovered by back-substitution —
+    and unlike the reference (which documents divergence when optimizing
+    both, README.md:268), the damped joint optimization is stable.
+    """
+    W = cfg.ba.window
+    M = prob.pts.shape[0]
+    info = jnp.asarray(cfg.ba.information_matrix, dtype=jnp.float32).reshape(2, 2)
+    huber = cfg.ba.huber_delta
+    fix_points = cfg.ba.fix_map_points
+    n_obs = jnp.maximum(jnp.sum(prob.obs_valid), 1)
+
+    def cost_fn(T_c_w, pts):
+        p2 = prob._replace(T_c_w=T_c_w, pts=pts)
+        r, _, _ = _residuals_and_jacobians(p2, cam, info)
+        w = _robust_weights(r, prob.obs_valid, info, huber)
+        e2 = (r[..., 0] ** 2 * info[0, 0] + r[..., 1] ** 2 * info[1, 1]
+              + 2.0 * r[..., 0] * r[..., 1] * info[0, 1])
+        return jnp.sum(w * e2)
+
+    def lm_step(carry, _):
+        T_c_w, pts, lam = carry
+        p2 = prob._replace(T_c_w=T_c_w, pts=pts)
+        r, J_c, J_p = _residuals_and_jacobians(p2, cam, info)
+        w = _robust_weights(r, prob.obs_valid, info, huber)
+
+        # per-observation weighted blocks; info folded into the 2-axis
+        Wr2 = jnp.einsum("ab,wkb->wka", info, r) * w[..., None]       # [W,K,2]
+        JcW = jnp.einsum("wkai,ab->wkbi", J_c, info) * w[..., None, None]
+        JpW = jnp.einsum("wkai,ab->wkbi", J_p, info) * w[..., None, None]
+
+        H_cc = jnp.einsum("wkai,wkaj->wij", JcW, J_c)                 # [W,6,6]
+        g_c = jnp.einsum("wkai,wka->wi", J_c, Wr2)                    # [W,6]
+
+        # frames that must not move: out-of-window slots, and (joint mode)
+        # the two oldest valid frames as the similarity-gauge anchor
+        # (the unfixed gauge is the likely root of the divergence the
+        # reference documents for joint optimization, doc/log.md:4-13).
+        fixed = ~prob.frame_valid
+        if not fix_points:
+            W_ = prob.frame_valid.shape[0]
+            order = jnp.arange(W_ - 1, -1, -1)
+            rev_valid = prob.frame_valid[order]
+            oldest = W_ - 1 - jnp.argmax(rev_valid)
+            second = W_ - 1 - jnp.argmax(rev_valid.at[W_ - 1 - oldest].set(False))
+            fixed = fixed | (jnp.arange(W_) == oldest) | (jnp.arange(W_) == second)
+        # freeze inside the linear system (huge stiffness), not post-hoc —
+        # post-solve zeroing leaves the coupled point updates inconsistent
+        H_cc = H_cc + jnp.where(fixed, 1e8, 0.0)[:, None, None] * jnp.eye(
+            6, dtype=r.dtype)[None]
+        g_c = jnp.where(fixed[:, None], 0.0, g_c)
+
+        if fix_points:
+            Hd = H_cc + lam * jnp.broadcast_to(jnp.eye(6, dtype=r.dtype), H_cc.shape)
+            delta_c = -jnp.linalg.solve(Hd, g_c[..., None])[..., 0]
+            delta_p = jnp.zeros_like(pts)
+        else:
+            # scatter per-point blocks over the landmark pool
+            flat_pid = prob.obs_pid.reshape(-1)
+            Hpp_obs = jnp.einsum("wkai,wkaj->wkij", JpW, J_p).reshape(-1, 3, 3)
+            gp_obs = jnp.einsum("wkai,wka->wki", J_p, Wr2).reshape(-1, 3)
+            A = jnp.zeros((M, 3, 3), r.dtype).at[flat_pid].add(Hpp_obs)
+            b_p = jnp.zeros((M, 3), r.dtype).at[flat_pid].add(gp_obs)
+            A = A + lam * jnp.eye(3, dtype=r.dtype)[None]
+            A = jnp.where(prob.pt_used[:, None, None], A,
+                          jnp.broadcast_to(jnp.eye(3, dtype=r.dtype), A.shape))
+            A_inv = jnp.linalg.inv(A)                                  # [M,3,3]
+
+            # camera-point coupling U[w,p] = sum_k Jc^T W Jp
+            U_obs = jnp.einsum("wkai,wkaj->wkij", JcW, J_p)            # [W,K,6,3]
+            U = jnp.zeros((W, M, 6, 3), r.dtype)
+            wk_idx = jnp.broadcast_to(
+                jnp.arange(W, dtype=jnp.int32)[:, None], prob.obs_pid.shape)
+            U = U.at[wk_idx.reshape(-1), flat_pid].add(U_obs.reshape(-1, 6, 3))
+
+            # reduced camera system S = H_cc - U A^-1 U^T (coupled blocks)
+            UAinv = jnp.einsum("wpij,pjk->wpik", U, A_inv)             # [W,M,6,3]
+            S_off = jnp.einsum("wpik,vplk->wvil", UAinv, U)            # [W,W,6,6]
+            S = -S_off
+            diag = jnp.arange(W)
+            S = S.at[diag, diag].add(H_cc + lam * jnp.eye(6, dtype=r.dtype)[None])
+            g_red = g_c - jnp.einsum("wpik,pk->wi", UAinv, b_p)        # [W,6]
+
+            S_full = S.transpose(0, 2, 1, 3).reshape(6 * W, 6 * W)
+            delta_c = -jnp.linalg.solve(S_full, g_red.reshape(-1)).reshape(W, 6)
+            # back-substitute landmarks
+            rhs = b_p + jnp.einsum("wpij,wi->pj", U, delta_c)
+            delta_p = -jnp.einsum("pij,pj->pi", A_inv, rhs)
+            delta_p = jnp.where(prob.pt_used[:, None], delta_p, 0.0)
+
+        delta_c = jnp.where(fixed[:, None], 0.0, delta_c)
+        T_new = jax.vmap(lambda d, T: lie.se3_exp(d) @ T)(delta_c, T_c_w)
+        pts_new = pts + delta_p
+
+        cost_old = cost_fn(T_c_w, pts)
+        cost_new = cost_fn(T_new, pts_new)
+        accept = cost_new < cost_old
+        T_c_w = jnp.where(accept, T_new, T_c_w)
+        pts = jnp.where(accept, pts_new, pts)
+        lam = jnp.where(accept, lam * 0.5, lam * 4.0)
+        return (T_c_w, pts, lam), cost_new / n_obs
+
+    (T_c_w, pts, _), costs = jax.lax.scan(
+        lm_step,
+        (prob.T_c_w, prob.pts, jnp.asarray(cfg.ba.init_lambda, jnp.float32)),
+        None, length=cfg.ba.iterations,
+    )
+    return T_c_w, pts, costs
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def ba_update_state(cfg: VOConfig, cam: Camera, st: S.VOState) -> S.VOState:
+    """Full BA step on the VO state: gather window, solve, write back poses
+    (ring + current + reference if fresh) and landmarks functionally."""
+    prob, slots = gather_window(cfg, st)
+    T_c_w, pts, _ = ba_solve(cfg, cam, prob)
+    poses_w_c = jax.vmap(lie.inv_T)(T_c_w)                      # [W,4,4]
+
+    ring_poses = st.ring.poses.at[slots].set(
+        jnp.where(prob.frame_valid[:, None, None], poses_w_c, st.ring.poses[slots]))
+    new_map = st.map._replace(
+        pts=jnp.where((prob.pt_used & st.map.valid)[:, None], pts, st.map.pts))
+
+    T_curr = jnp.where(prob.frame_valid[0], poses_w_c[0], st.T_w_c)
+
+    # re-sync the reference keyframe pose if it still lives in the ring
+    F = cfg.map.frame_buffer
+    ref_age = st.frame_idx - st.ref_frame_idx
+    ref_fresh = (ref_age >= 1) & (ref_age <= F)
+    ref_slot = jnp.mod(st.ref_frame_idx, F)
+    ref_pose = jnp.where(ref_fresh, ring_poses[ref_slot], st.ref_pose)
+
+    return st._replace(
+        T_w_c=T_curr,
+        ring=st.ring._replace(poses=ring_poses),
+        map=new_map,
+        ref_pose=ref_pose,
+        last_keyframe_pose=jnp.where(ref_fresh, ref_pose, st.last_keyframe_pose),
+    )

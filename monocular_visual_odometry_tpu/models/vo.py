@@ -1,0 +1,403 @@
+"""The VO pipeline: per-frame step functions and the host-side engine.
+
+TPU-native replacement for ``VisualOdometry::addFrame`` and its helpers
+(``/root/reference/src/vo/vo_addFrame.cpp``, ``vo.cpp``): the FSM
+BLANK -> DOING_INITIALIZATION -> DOING_TRACKING becomes three pure,
+jit-compiled step functions over a single ``VOState`` pytree:
+
+- :func:`step_first`     — first frame: detect, T=I, become the reference
+  keyframe (vo_addFrame.cpp:30-35)
+- :func:`step_init`      — two-view initialization attempt: match vs ref,
+  E/H dual estimation + selection, triangulation-angle filter, quality
+  gates, depth normalization (vo_addFrame.cpp:36-70, vo.cpp:53-170)
+- :func:`step_track`     — frustum map scan, 3D-2D matching, RANSAC-PnP,
+  pose-jump rejection, keyframe-need flag (vo_addFrame.cpp:71-91,
+  vo.cpp:267-381)
+- :func:`keyframe_update`— triangulate new points with the epipolar
+  filter, PtConn reuse, map culling, reference switch
+  (vo_addFrame.cpp:92-124, vo.cpp:482-576)
+
+All branches are computed masked inside jit (no data-dependent Python
+control flow); the host engine reads back one scalar per frame (the pose it
+must record anyway) and dispatches stages / keyframe updates accordingly.
+The in-place pointer mutation that is the reference's data flow
+(vo.cpp:432-451) is replaced by functional state threading.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from monocular_visual_odometry_tpu.models import state as S
+from monocular_visual_odometry_tpu.ops import lie, matching, pnp, twoview
+from monocular_visual_odometry_tpu.ops.camera import Camera, cam2pixel, in_frame
+from monocular_visual_odometry_tpu.ops.features import FrameFeatures, features_from_config
+from monocular_visual_odometry_tpu.utils.config import VOConfig
+
+_DEG = jnp.pi / 180.0
+
+
+def _masked_median(vals: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Median over masked entries (inf if none)."""
+    s = jnp.sort(jnp.where(mask, vals, jnp.inf))
+    n = jnp.sum(mask)
+    idx = jnp.maximum((n - 1) // 2, 0)
+    return jnp.take(s, idx)
+
+
+def _angle_filter(angles: jnp.ndarray, mask: jnp.ndarray, cfg: VOConfig) -> jnp.ndarray:
+    """retainGoodTriangulationResult_ (vo.cpp:181-244): drop points with
+    parallax < min_triang_angle or > max_ratio x median."""
+    med = _masked_median(angles, mask)
+    lo = cfg.triang.min_triang_angle_deg * _DEG
+    hi = cfg.triang.max_ratio_angle_over_median * med
+    return mask & (angles >= lo) & (angles <= hi)
+
+
+def _tree_select(pred, a, b):
+    """Elementwise where over two identical pytrees."""
+    return jax.tree.map(lambda x, y: jnp.where(
+        jnp.reshape(pred, (1,) * x.ndim) if x.ndim else pred, x, y), a, b)
+
+
+# ---------------------------------------------------------------------------
+# stage: first frame
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def step_first(cfg: VOConfig, cam: Camera, st: S.VOState, img: jnp.ndarray):
+    feats = features_from_config(img, cfg.orb)
+    k = cfg.orb.max_keypoints
+    eye = jnp.eye(4, dtype=jnp.float32)
+    ring = st.ring.push(st.frame_idx % cfg.map.frame_buffer, eye, feats.kpts,
+                        jnp.full(k, -1, jnp.int32))
+    new = st._replace(
+        stage=jnp.asarray(S.STAGE_INITIALIZING, jnp.int32),
+        frame_idx=st.frame_idx + 1,
+        T_w_c=eye,
+        ref_feats=feats,
+        ref_pose=eye,
+        ref_mp_idx=jnp.full(k, -1, jnp.int32),
+        ref_frame_idx=st.frame_idx,
+        last_keyframe_pose=eye,
+        ring=ring,
+    )
+    out = S.StepOutput(
+        T_w_c=eye, stage=new.stage, n_keypoints=feats.n_valid,
+        n_matches=jnp.asarray(0, jnp.int32), n_inliers=jnp.asarray(0, jnp.int32),
+        is_keyframe=jnp.asarray(True), tracking_ok=jnp.asarray(True),
+        used_homography=jnp.asarray(False), n_map_points=new.map.n_valid,
+    )
+    return new, out
+
+
+# ---------------------------------------------------------------------------
+# stage: initialization attempt
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def step_init(cfg: VOConfig, cam: Camera, st: S.VOState, img: jnp.ndarray):
+    feats = features_from_config(img, cfg.orb)
+    rng, k_est = jax.random.split(st.rng)
+    ref = st.ref_feats
+
+    m = matching.match_features(
+        ref.desc, feats.desc, ref.valid, feats.valid, ref.kpts, feats.kpts,
+        method=cfg.match.method_index,
+        max_pixel_dist=cfg.match.max_pixel_dist_init,
+        xiang_gao_ratio=cfg.match.xiang_gao_match_ratio,
+        lowe_ratio=cfg.match.lowe_dist_ratio,
+    )
+    uv1 = ref.kpts[m.query_idx]
+    uv2 = feats.kpts[m.train_idx]
+
+    tv = twoview.estimate_relative_pose(
+        uv1, uv2, m.valid, cam, k_est,
+        threshold_px=cfg.ransac.threshold_px,
+        n_hypotheses=cfg.ransac.n_hypotheses,
+    )
+    T_2_1 = lie.rt_to_T(tv.R, tv.t)
+    angles = twoview.triangulation_angles(tv.pts3d_c1, T_2_1)
+    good = _angle_filter(angles, tv.inliers, cfg)
+
+    # init quality gates (isVoGoodToInit_, vo.cpp:112-170)
+    n_good = jnp.sum(good)
+    mean_disp = matching.mean_pixel_displacement(
+        ref.kpts, feats.kpts, m._replace(valid=good))
+    med_angle = _masked_median(angles, good)
+    is_good = (
+        (n_good >= cfg.init.min_inlier_matches)
+        & (mean_disp > cfg.init.min_pixel_dist)
+        & (med_angle > cfg.init.min_median_triang_angle_deg * _DEG)
+    )
+
+    # depth normalization: mean depth in the *current* frame -> assumed
+    # mean depth (vo.cpp:101-109)
+    pts_c2 = lie.transform_points(T_2_1, tv.pts3d_c1)
+    mean_depth = jnp.sum(jnp.where(good, pts_c2[:, 2], 0.0)) / jnp.maximum(n_good, 1)
+    scale = cfg.init.assumed_mean_depth / jnp.maximum(mean_depth, 1e-6)
+    T_2_1_scaled = lie.rt_to_T(tv.R, tv.t * scale)
+    T_w_c2 = st.ref_pose @ lie.inv_T(T_2_1_scaled)
+    pts_w = lie.transform_points(st.ref_pose, tv.pts3d_c1 * scale)
+
+    # push to map (pushCurrPointsToMap_, vo.cpp:528-576); all masked by the
+    # gate so a failed attempt mutates nothing
+    insert_mask = good & is_good
+    desc_new = feats.desc[m.train_idx]
+    cam_center = T_w_c2[:3, 3]
+    nrm = pts_w - cam_center[None, :]
+    nrm = nrm / (jnp.linalg.norm(nrm, axis=-1, keepdims=True) + 1e-9)
+    new_map, slots = S.insert_map_points(st.map, pts_w, desc_new, nrm, insert_mask)
+
+    k = cfg.orb.max_keypoints
+    curr_mp = jnp.full(k, -1, jnp.int32)
+    curr_mp = curr_mp.at[m.train_idx].set(
+        jnp.where(insert_mask, slots, -1), mode="drop")
+    pose_out = jnp.where(is_good, T_w_c2, st.ref_pose)
+
+    ring = st.ring.push(st.frame_idx % cfg.map.frame_buffer, pose_out,
+                        feats.kpts, jnp.where(is_good, curr_mp, -1))
+
+    succeeded = st._replace(
+        stage=jnp.asarray(S.STAGE_TRACKING, jnp.int32),
+        T_w_c=T_w_c2,
+        ref_feats=feats,
+        ref_pose=T_w_c2,
+        ref_mp_idx=curr_mp,
+        ref_frame_idx=st.frame_idx,
+        last_keyframe_pose=T_w_c2,
+        map=new_map,
+    )
+    unchanged = st._replace(T_w_c=st.ref_pose)
+    new = _tree_select(is_good, succeeded, unchanged)
+    new = new._replace(frame_idx=st.frame_idx + 1, ring=ring, rng=rng)
+
+    out = S.StepOutput(
+        T_w_c=pose_out, stage=new.stage, n_keypoints=feats.n_valid,
+        n_matches=m.n_valid, n_inliers=n_good,
+        is_keyframe=is_good, tracking_ok=jnp.asarray(True),
+        used_homography=tv.used_homography, n_map_points=new.map.n_valid,
+    )
+    return new, out
+
+
+# ---------------------------------------------------------------------------
+# stage: tracking (PnP against the local map)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "height", "width"))
+def step_track(cfg: VOConfig, cam: Camera, st: S.VOState, img: jnp.ndarray,
+               *, height: int, width: int):
+    feats = features_from_config(img, cfg.orb)
+    rng, k_pnp = jax.random.split(st.rng)
+
+    # frustum scan with the previous pose (getMappointsInCurrentView_,
+    # vo.cpp:16-49) — vmapped over the whole pool
+    T_c_w_prev = lie.inv_T(st.T_w_c)
+    p_cam = lie.transform_points(T_c_w_prev, st.map.pts)
+    proj = cam2pixel(p_cam, cam)
+    candidates = st.map.valid & (p_cam[:, 2] > 0) & in_frame(proj, height, width)
+    visible = st.map.visible + candidates.astype(jnp.int32)
+
+    # 3D-2D matching: map descriptors vs current frame, radius-gated around
+    # the projected positions (vo.cpp:283-289)
+    m = matching.match_features(
+        st.map.desc, feats.desc, candidates, feats.valid, proj, feats.kpts,
+        method=cfg.match.method_index,
+        max_pixel_dist=cfg.match.max_pixel_dist_pnp,
+        xiang_gao_ratio=cfg.match.xiang_gao_match_ratio,
+        lowe_ratio=cfg.match.lowe_dist_ratio,
+    )
+    uv = feats.kpts[m.train_idx]
+
+    res = pnp.solve_pnp_ransac(
+        st.map.pts, uv, m.valid, cam, k_pnp,
+        threshold_px=cfg.ransac.pnp_reproj_threshold_px,
+        n_hypotheses=cfg.ransac.pnp_n_hypotheses,
+        min_inliers=cfg.ransac.pnp_min_inliers,
+    )
+    T_w_c_new = lie.inv_T(res.T_c_w)
+
+    # pose-jump rejection vs previous frame (vo.cpp:357-369) and pose
+    # freeze on failure (vo.cpp:376-379)
+    jump = lie.pose_distance(T_w_c_new, st.T_w_c) > cfg.tracking.max_dist_to_prev_keyframe
+    ok = res.ok & ~jump
+    pose = jnp.where(ok, T_w_c_new, st.T_w_c)
+
+    # counters + PtConn links for this frame (vo.cpp:334-352)
+    matched_add = (res.inliers & ok).astype(jnp.int32)
+    new_map = st.map._replace(visible=visible, matched=st.map.matched + matched_add)
+    k = cfg.orb.max_keypoints
+    map_slot = m.query_idx  # query side IS the map pool index
+    curr_mp = jnp.full(k, -1, jnp.int32)
+    curr_mp = curr_mp.at[m.train_idx].set(
+        jnp.where(res.inliers & ok, map_slot, -1), mode="drop")
+
+    # keyframe rule (checkLargeMoveForAddKeyFrame_, vo.cpp:247-265)
+    need_kf = ok & (
+        lie.pose_distance(pose, st.last_keyframe_pose)
+        > cfg.tracking.min_dist_between_keyframes
+    )
+
+    ring = st.ring.push(st.frame_idx % cfg.map.frame_buffer, pose, feats.kpts,
+                        curr_mp)
+    new = st._replace(
+        frame_idx=st.frame_idx + 1, T_w_c=pose, map=new_map, ring=ring, rng=rng
+    )
+    out = S.StepOutput(
+        T_w_c=pose, stage=new.stage, n_keypoints=feats.n_valid,
+        n_matches=m.n_valid, n_inliers=res.n_inliers,
+        is_keyframe=need_kf, tracking_ok=ok,
+        used_homography=jnp.asarray(False), n_map_points=new_map.n_valid,
+    )
+    return new, out, feats, curr_mp
+
+
+# ---------------------------------------------------------------------------
+# keyframe update: triangulate new points, cull, switch reference
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "height", "width"))
+def keyframe_update(cfg: VOConfig, cam: Camera, st: S.VOState,
+                    feats: FrameFeatures, curr_mp: jnp.ndarray,
+                    *, height: int, width: int):
+    """vo_addFrame.cpp:92-124: match vs ref keyframe, epipolar-filter,
+    triangulate with the tracked poses, angle-filter, insert with PtConn
+    reuse, cull the map, make the current frame the new reference."""
+    rng, k_epi = jax.random.split(st.rng)
+    ref = st.ref_feats
+
+    m = matching.match_features(
+        ref.desc, feats.desc, ref.valid, feats.valid, ref.kpts, feats.kpts,
+        method=cfg.match.method_index,
+        max_pixel_dist=cfg.match.max_pixel_dist_triang,
+        xiang_gao_ratio=cfg.match.xiang_gao_match_ratio,
+        lowe_ratio=cfg.match.lowe_dist_ratio,
+    )
+    uv1 = ref.kpts[m.query_idx]
+    uv2 = feats.kpts[m.train_idx]
+
+    # E-RANSAC as outlier filter (helperFindInlierMatchesByEpipolarCons)
+    inl = twoview.find_inlier_matches_by_epipolar(
+        uv1, uv2, m.valid, cam, k_epi,
+        threshold_px=cfg.ransac.threshold_px,
+        n_hypotheses=cfg.ransac.n_hypotheses // 2,
+    )
+
+    pts_w, ok3d = twoview.triangulate_with_pose(
+        uv1, uv2, inl, cam, st.ref_pose, st.T_w_c)
+    T_2_1 = lie.relative_T(st.T_w_c, st.ref_pose)  # T_curr_ref
+    pts_c1 = lie.transform_points(lie.inv_T(st.ref_pose), pts_w)
+    angles = twoview.triangulation_angles(pts_c1, T_2_1)
+    good = _angle_filter(angles, ok3d, cfg)
+
+    # PtConn reuse: a ref keypoint already linked to a map point does not
+    # spawn a duplicate (pushCurrPointsToMap_, vo.cpp:541-574)
+    ref_links = st.ref_mp_idx[m.query_idx]
+    reuse = good & (ref_links >= 0)
+    fresh = good & (ref_links < 0)
+
+    desc_new = feats.desc[m.train_idx]
+    cam_center = st.T_w_c[:3, 3]
+    nrm = pts_w - cam_center[None, :]
+    nrm = nrm / (jnp.linalg.norm(nrm, axis=-1, keepdims=True) + 1e-9)
+    new_map, slots = S.insert_map_points(st.map, pts_w, desc_new, nrm, fresh)
+
+    link_target = jnp.where(reuse, ref_links, jnp.where(fresh, slots, -1))
+    curr_mp = curr_mp.at[m.train_idx].set(
+        jnp.maximum(curr_mp[m.train_idx], link_target), mode="drop")
+
+    # map culling (optimizeMap_, vo.cpp:488-526)
+    T_c_w = lie.inv_T(st.T_w_c)
+    p_cam = lie.transform_points(T_c_w, new_map.pts)
+    proj = cam2pixel(p_cam, cam)
+    in_view = (p_cam[:, 2] > 0) & in_frame(proj, height, width)
+    ratio = new_map.matched.astype(jnp.float32) / jnp.maximum(
+        new_map.visible.astype(jnp.float32), 1.0)
+    view_dir = new_map.pts - cam_center[None, :]
+    view_dir = view_dir / (jnp.linalg.norm(view_dir, axis=-1, keepdims=True) + 1e-9)
+    cosang = jnp.sum(view_dir * new_map.normals, axis=-1)
+    angle_ok = cosang > jnp.cos(cfg.map.max_view_angle_deg * _DEG)
+    keep = new_map.valid & in_view & (ratio >= st.erase_ratio) & angle_ok
+    new_map = new_map._replace(valid=keep)
+
+    n_pts = jnp.sum(keep)
+    erase_ratio = jnp.where(
+        n_pts > 1000, st.erase_ratio + 0.05,
+        jnp.asarray(cfg.map.default_erase_ratio, jnp.float32))
+
+    # update the ring entry for this frame with the final links
+    slot = (st.frame_idx - 1) % cfg.map.frame_buffer
+    ring = st.ring._replace(mp_idx=st.ring.mp_idx.at[slot].set(curr_mp))
+
+    new = st._replace(
+        ref_feats=feats,
+        ref_pose=st.T_w_c,
+        ref_mp_idx=curr_mp,
+        ref_frame_idx=st.frame_idx - 1,
+        last_keyframe_pose=st.T_w_c,
+        map=new_map,
+        ring=ring,
+        erase_ratio=erase_ratio,
+        rng=rng,
+    )
+    return new
+
+
+# ---------------------------------------------------------------------------
+# host-side engine
+# ---------------------------------------------------------------------------
+
+
+class VOEngine:
+    """Host driver: threads VOState through the jitted stage functions.
+
+    The single per-frame host<->device sync is the pose/status readback the
+    caller needs anyway (trajectory recording, run_vo.cpp:140). Heavy
+    compute never leaves the device.
+    """
+
+    def __init__(self, cfg: VOConfig, height: int, width: int, seed: int = 0):
+        self.cfg = cfg
+        self.height = height
+        self.width = width
+        self.cam = Camera.create(cfg.dataset.fx, cfg.dataset.fy,
+                                 cfg.dataset.cx, cfg.dataset.cy)
+        self.state = S.init_state(cfg, seed)
+        if cfg.ba.enabled:
+            from monocular_visual_odometry_tpu.models.ba import ba_update_state
+            self.ba_fn = ba_update_state
+        else:
+            self.ba_fn = None
+
+    def add_frame(self, img: np.ndarray) -> S.StepOutput:
+        """Process one grayscale image [H,W] (uint8 or float). Returns the
+        StepOutput diagnostics (device arrays)."""
+        img = jnp.asarray(img, dtype=jnp.float32)
+        stage = int(self.state.stage)
+        if stage == S.STAGE_BLANK:
+            self.state, out = step_first(self.cfg, self.cam, self.state, img)
+            return out
+        if stage == S.STAGE_INITIALIZING:
+            self.state, out = step_init(self.cfg, self.cam, self.state, img)
+            return out
+        self.state, out, feats, curr_mp = step_track(
+            self.cfg, self.cam, self.state, img,
+            height=self.height, width=self.width)
+        if self.ba_fn is not None and bool(out.tracking_ok):
+            self.state = self.ba_fn(self.cfg, self.cam, self.state)
+            out = out._replace(T_w_c=self.state.T_w_c)
+        if bool(out.is_keyframe):
+            self.state = keyframe_update(
+                self.cfg, self.cam, self.state, feats, curr_mp,
+                height=self.height, width=self.width)
+        return out

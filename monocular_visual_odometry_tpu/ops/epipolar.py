@@ -101,28 +101,38 @@ def estimate_essential(
     """
     idx = sample_minimal_sets(key, valid, n_hypotheses, 8)     # [B,8]
     Es = _eight_point(x1[idx], x2[idx])                        # [B,3,3]
-    d2 = _sym_epipolar_dist2(Es, x1, x2)                       # [B,N]
     th2 = threshold * threshold
-    inl = (d2 < 2.0 * th2) & valid[None, :]
-    counts = jnp.sum(inl, axis=-1)
-    best = jnp.argmax(counts)
-    # Iterated consensus refit (LO-RANSAC-style, fixed 6 rounds). A refit
-    # can transiently *shrink* the gated set before expanding it (the
-    # minimal-sample model overfits its 8 points), so refits are applied
-    # unconditionally while the best (model, inliers) seen is tracked.
-    E_cur = Es[best]
-    inl_cur = inl[best]
-    E_best, inl_best, n_best = E_cur, inl_cur, counts[best]
-    for _ in range(6):
-        E_cur = _weighted_eight_point(x1, x2, inl_cur.astype(x1.dtype))
-        d2r = _sym_epipolar_dist2(E_cur, x1, x2)
-        inl_cur = (d2r < 2.0 * th2) & valid
-        n_cur = jnp.sum(inl_cur)
-        better = n_cur >= n_best
-        E_best = jnp.where(better, E_cur, E_best)
-        inl_best = jnp.where(better, inl_cur, inl_best)
-        n_best = jnp.maximum(n_cur, n_best)
-    return RansacModel(E_best, inl_best, n_best)
+    cap = 2.0 * th2
+
+    def msac(E):
+        # truncated-quadratic (MSAC) score: robust model quality, much
+        # better discriminator than inlier count near the noise floor
+        d2 = _sym_epipolar_dist2(E, x1, x2)
+        return jnp.sum(jnp.where(valid, jnp.minimum(d2, cap), 0.0), axis=-1), d2
+
+    scores, d2 = msac(Es)
+    best = jnp.argmin(scores)
+    # Iterated consensus refit (LO-RANSAC-style), tracked by MSAC score.
+    # TWO refit chains guard against consensus degeneracy: chain A seeds
+    # from the best minimal hypothesis's gate; chain B seeds from ALL valid
+    # matches. Chain B is what rescues quasi-planar scenes — minimal
+    # 8-point samples collapse onto the plane-induced E family and their
+    # gates exclude exactly the off-plane points that disambiguate it,
+    # while the all-match solve keeps them (outlier rate is low after
+    # radius-gated matching).
+    E_best, s_best = Es[best], scores[best]
+    for seed_mask in ((d2[best] < cap) & valid, valid):
+        inl_cur = seed_mask
+        for _ in range(6):
+            E_cur = _weighted_eight_point(x1, x2, inl_cur.astype(x1.dtype))
+            s_cur, d2r = msac(E_cur)
+            inl_cur = (d2r < cap) & valid
+            better = s_cur <= s_best
+            E_best = jnp.where(better, E_cur, E_best)
+            s_best = jnp.minimum(s_cur, s_best)
+    d2f = _sym_epipolar_dist2(E_best, x1, x2)
+    inl_best = (d2f < cap) & valid
+    return RansacModel(E_best, inl_best, jnp.sum(inl_best))
 
 
 def _weighted_eight_point(x1, x2, w):
@@ -172,6 +182,87 @@ def depths_in_two_views(pts1: jnp.ndarray, T_2_1: jnp.ndarray):
     z1 = pts1[..., 2]
     p2 = lie.transform_points(T_2_1, pts1)
     return z1, p2[..., 2]
+
+
+def _sampson_residuals(R: jnp.ndarray, t: jnp.ndarray, x1: jnp.ndarray,
+                       x2: jnp.ndarray) -> jnp.ndarray:
+    """First-order geometric (Sampson) epipolar error per correspondence,
+    in normalized-plane units. [N]."""
+    E = lie.hat(t) @ R
+    h1 = jnp.concatenate([x1, jnp.ones_like(x1[..., :1])], axis=-1)
+    h2 = jnp.concatenate([x2, jnp.ones_like(x2[..., :1])], axis=-1)
+    Ex1 = h1 @ E.T          # [N,3]
+    Etx2 = h2 @ E           # [N,3]
+    r = jnp.sum(h2 * Ex1, axis=-1)
+    denom = jnp.sqrt(
+        Ex1[..., 0] ** 2 + Ex1[..., 1] ** 2 + Etx2[..., 0] ** 2 + Etx2[..., 1] ** 2 + _EPS
+    )
+    return r / denom
+
+
+def refine_pose_sampson(
+    R0: jnp.ndarray, t0: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray,
+    valid: jnp.ndarray, *, iterations: int = 10, huber_delta: float = 2e-3,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Gauss-Newton refinement of a relative pose on the 5-DoF essential
+    manifold (rotation so(3) x translation-sphere tangent), minimizing
+    Huber-robust Sampson error over ALL valid matches.
+
+    This is the step OpenCV's 5-point RANSAC gets from its internal
+    refinement and the reference lacks entirely; it also rescues
+    quasi-planar consensus degeneracy, since off-plane correspondences
+    re-enter through the robust cost instead of being hard-gated away.
+    """
+
+    def tangent_basis(t):
+        # two unit vectors orthogonal to t
+        a = jnp.where(jnp.abs(t[0]) < 0.9,
+                      jnp.asarray([1.0, 0.0, 0.0], t.dtype),
+                      jnp.asarray([0.0, 1.0, 0.0], t.dtype))
+        b1 = jnp.cross(t, a)
+        b1 = b1 / (jnp.linalg.norm(b1) + _EPS)
+        b2 = jnp.cross(t, b1)
+        return jnp.stack([b1, b2], axis=-1)  # [3,2]
+
+    w_valid = valid.astype(x1.dtype)
+
+    def residuals(params, R, t, B):
+        w, tau = params[:3], params[3:]
+        Rp = lie.so3_exp(w) @ R
+        tp = t + B @ tau
+        tp = tp / (jnp.linalg.norm(tp) + _EPS)
+        return _sampson_residuals(Rp, tp, x1, x2)
+
+    def step(carry, _):
+        R, t, lam = carry
+        B = tangent_basis(t)
+        p0 = jnp.zeros(5, dtype=x1.dtype)
+        r = residuals(p0, R, t, B)
+        J = jax.jacfwd(residuals)(p0, R, t, B)          # [N,5]
+        absr = jnp.abs(r)
+        w_huber = jnp.where(absr <= huber_delta, 1.0, huber_delta / (absr + _EPS))
+        w = w_valid * w_huber
+        H = J.T @ (J * w[:, None])
+        g = J.T @ (r * w)
+        delta = -jnp.linalg.solve(H + lam * jnp.eye(5, dtype=x1.dtype), g)
+        R_new = lie.so3_exp(delta[:3]) @ R
+        t_new = t + B @ delta[3:]
+        t_new = t_new / (jnp.linalg.norm(t_new) + _EPS)
+        cost = jnp.sum(w * r * r)
+        r_new = _sampson_residuals(R_new, t_new, x1, x2)
+        w_new = w_valid * jnp.where(jnp.abs(r_new) <= huber_delta, 1.0,
+                                    huber_delta / (jnp.abs(r_new) + _EPS))
+        cost_new = jnp.sum(w_new * r_new * r_new)
+        accept = cost_new < cost
+        R = jnp.where(accept, R_new, R)
+        t = jnp.where(accept, t_new, t)
+        lam = jnp.where(accept, lam * 0.3, lam * 5.0)
+        return (R, t, lam), None
+
+    (R, t, _), _ = jax.lax.scan(
+        step, (R0, t0, jnp.asarray(1e-4, dtype=x1.dtype)), None, length=iterations
+    )
+    return R, t
 
 
 def recover_pose_from_E(
@@ -252,23 +343,27 @@ def estimate_homography(
     epipolar_geometry.cpp:106)."""
     idx = sample_minimal_sets(key, valid, n_hypotheses, 4)
     Hs = _four_point_h(p1[idx], p2[idx])
-    d2 = _sym_transfer_dist2(Hs, p1, p2)
-    inl = (d2 < threshold_px * threshold_px) & valid[None, :]
-    counts = jnp.sum(inl, axis=-1)
-    best = jnp.argmax(counts)
-    H_cur = Hs[best]
-    inl_cur = inl[best]
-    H_best, inl_best, n_best = H_cur, inl_cur, counts[best]
-    for _ in range(6):
-        H_cur = _weighted_h(p1, p2, inl_cur.astype(p1.dtype))
-        d2r = _sym_transfer_dist2(H_cur, p1, p2)
-        inl_cur = (d2r < threshold_px * threshold_px) & valid
-        n_cur = jnp.sum(inl_cur)
-        better = n_cur >= n_best
-        H_best = jnp.where(better, H_cur, H_best)
-        inl_best = jnp.where(better, inl_cur, inl_best)
-        n_best = jnp.maximum(n_cur, n_best)
-    return RansacModel(H_best, inl_best, n_best)
+    cap = threshold_px * threshold_px
+
+    def msac(H):
+        d2 = _sym_transfer_dist2(H, p1, p2)
+        return jnp.sum(jnp.where(valid, jnp.minimum(d2, cap), 0.0), axis=-1), d2
+
+    scores, d2 = msac(Hs)
+    best = jnp.argmin(scores)
+    H_best, s_best = Hs[best], scores[best]
+    for seed_mask in ((d2[best] < cap) & valid, valid):
+        inl_cur = seed_mask
+        for _ in range(6):
+            H_cur = _weighted_h(p1, p2, inl_cur.astype(p1.dtype))
+            s_cur, d2r = msac(H_cur)
+            inl_cur = (d2r < cap) & valid
+            better = s_cur <= s_best
+            H_best = jnp.where(better, H_cur, H_best)
+            s_best = jnp.minimum(s_cur, s_best)
+    d2f = _sym_transfer_dist2(H_best, p1, p2)
+    inl_best = (d2f < cap) & valid
+    return RansacModel(H_best, inl_best, jnp.sum(inl_best))
 
 
 def _weighted_h(p1, p2, w):

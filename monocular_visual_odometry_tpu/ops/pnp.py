@@ -36,15 +36,52 @@ def _dlt_p6(pts: jnp.ndarray, uv_n: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarr
     """Batched 6-point DLT for the projection matrix on the normalized image
     plane. pts: [..., M, 3] world; uv_n: [..., M, 2] normalized-plane.
     Returns (R [...,3,3], t [...,3])."""
-    X, Y, Z = pts[..., 0], pts[..., 1], pts[..., 2]
-    u, v = uv_n[..., 0], uv_n[..., 1]
+    # precondition (Hartley): center+scale the 3-D points to RMS sqrt(3)
+    # and the 2-D points to RMS sqrt(2) — without this the f32 Gram-eigh
+    # nullspace is seed-fragile (world coords and normalized-plane coords
+    # live on very different scales)
+    c3 = jnp.mean(pts, axis=-2, keepdims=True)
+    rms3 = jnp.sqrt(jnp.mean(jnp.sum((pts - c3) ** 2, axis=-1), axis=-1) + _EPS)
+    s3 = jnp.sqrt(3.0) / rms3
+    Xn = (pts - c3) * s3[..., None, None]
+    c2 = jnp.mean(uv_n, axis=-2, keepdims=True)
+    rms2 = jnp.sqrt(jnp.mean(jnp.sum((uv_n - c2) ** 2, axis=-1), axis=-1) + _EPS)
+    s2 = jnp.sqrt(2.0) / rms2
+    un = (uv_n - c2) * s2[..., None, None]
+
+    X, Y, Z = Xn[..., 0], Xn[..., 1], Xn[..., 2]
+    u, v = un[..., 0], un[..., 1]
     o = jnp.ones_like(X)
     z = jnp.zeros_like(X)
     r1 = jnp.stack([X, Y, Z, o, z, z, z, z, -u * X, -u * Y, -u * Z, -u], axis=-1)
     r2 = jnp.stack([z, z, z, z, X, Y, Z, o, -v * X, -v * Y, -v * Z, -v], axis=-1)
     A = jnp.concatenate([r1, r2], axis=-2)            # [..., 2M, 12]
     p = nullspace_via_eigh(A)                          # [..., 12]
-    P = p.reshape(p.shape[:-1] + (3, 4))
+    Pn = p.reshape(p.shape[:-1] + (3, 4))
+    # denormalize: P = T2^-1 @ Pn @ T3, with
+    # T3 = [[s3*I, -s3*c3], [0, 1]],  T2^-1 = [[1/s2*I2, c2], [0, 1]]
+    batch = Pn.shape[:-2]
+    eye3 = jnp.broadcast_to(jnp.eye(3, dtype=pts.dtype), batch + (3, 3))
+    T3_top = jnp.concatenate(
+        [eye3 * s3[..., None, None], (-s3[..., None] * jnp.squeeze(c3, -2))[..., None]],
+        axis=-1,
+    )
+    T3_bot = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, 0.0, 1.0], dtype=pts.dtype), batch + (1, 4))
+    T3 = jnp.concatenate([T3_top, T3_bot], axis=-2)   # [...,4,4]
+    c2s = jnp.squeeze(c2, -2)
+    inv_s2 = 1.0 / s2
+    zb = jnp.zeros_like(inv_s2)
+    ob = jnp.ones_like(inv_s2)
+    T2inv = jnp.stack(
+        [
+            jnp.stack([inv_s2, zb, c2s[..., 0]], axis=-1),
+            jnp.stack([zb, inv_s2, c2s[..., 1]], axis=-1),
+            jnp.stack([zb, zb, ob], axis=-1),
+        ],
+        axis=-2,
+    )                                                  # [...,3,3]
+    P = T2inv @ Pn @ T3
     M = P[..., :3]
     # scale + orthogonalize: R = proj_SO3(M), s = mean singular value
     U, s, Vt = jnp.linalg.svd(M)
@@ -69,6 +106,84 @@ def _reproject_so3(R):
     det = jnp.linalg.det(U @ Vt)
     D = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], axis=-1)
     return (U * D[..., None, :]) @ Vt
+
+
+def p3p_grunert(pts: jnp.ndarray, uv_n: jnp.ndarray):
+    """Grunert's P3P: 3 world points [..., 3, 3] + 3 normalized-plane
+    observations [..., 3, 2] -> up to 4 poses.
+
+    Returns (R [..., 4, 3, 3], t [..., 4, 3], ok [..., 4]). The classic
+    quartic in the distance ratio v = s3/s1 (Haralick et al. 1994 review of
+    the three-point pose problem), solved closed-form (ops.polynomial), one
+    absolute-orientation alignment per root.
+    """
+    from monocular_visual_odometry_tpu.ops.polynomial import (
+        polish_quartic_roots, quartic_real_roots)
+
+    # unit bearing vectors
+    f = jnp.concatenate([uv_n, jnp.ones_like(uv_n[..., :1])], axis=-1)
+    f = f / jnp.linalg.norm(f, axis=-1, keepdims=True)          # [...,3,3]
+    X1, X2, X3 = pts[..., 0, :], pts[..., 1, :], pts[..., 2, :]
+    f1, f2, f3 = f[..., 0, :], f[..., 1, :], f[..., 2, :]
+
+    a2 = jnp.sum((X2 - X3) ** 2, axis=-1)   # a = |X2-X3| opposite vertex 1
+    b2 = jnp.sum((X1 - X3) ** 2, axis=-1)
+    c2 = jnp.sum((X1 - X2) ** 2, axis=-1)
+    ca = jnp.sum(f2 * f3, axis=-1)          # cos(alpha) at vertex angles
+    cb = jnp.sum(f1 * f3, axis=-1)
+    cg = jnp.sum(f1 * f2, axis=-1)
+
+    A = a2 / jnp.maximum(b2, _EPS)          # a^2/b^2
+    B = c2 / jnp.maximum(b2, _EPS)          # c^2/b^2
+    AmB = A - B                              # (a^2-c^2)/b^2
+
+    # Grunert quartic in v = s3/s1 (Haralick eq. system):
+    A4 = (AmB - 1.0) ** 2 - 4.0 * B * ca * ca
+    A3 = 4.0 * (AmB * (1.0 - AmB) * cb - (1.0 - (A + B)) * ca * cg
+                + 2.0 * B * ca * ca * cb)
+    A2c = 2.0 * (AmB * AmB - 1.0 + 2.0 * AmB * AmB * cb * cb
+                 + 2.0 * (1.0 - B) * ca * ca - 4.0 * (A + B) * ca * cb * cg
+                 + 2.0 * (1.0 - A) * cg * cg)
+    A1 = 4.0 * (-AmB * (1.0 + AmB) * cb + 2.0 * A * cg * cg * cb
+                - (1.0 - (A + B)) * ca * cg)
+    A0 = (1.0 + AmB) ** 2 - 4.0 * A * cg * cg
+
+    lead = jnp.where(jnp.abs(A4) < 1e-10, jnp.where(A4 >= 0, 1e-10, -1e-10), A4)
+    v, ok = quartic_real_roots(A3 / lead, A2c / lead, A1 / lead, A0 / lead)
+    v = polish_quartic_roots(A3 / lead, A2c / lead, A1 / lead, A0 / lead, v, 2)
+
+    # back-substitute: u = s2/s1 from the linear relation
+    AmBe = AmB[..., None]
+    cbe, cae, cge = cb[..., None], ca[..., None], cg[..., None]
+    u = ((-1.0 + AmBe) * v * v - 2.0 * AmBe * cbe * v + 1.0 + AmBe) / (
+        2.0 * (cge - v * cae) + jnp.where(jnp.abs(cge - v * cae) < _EPS, _EPS, 0.0)
+    )
+    s1 = jnp.sqrt(jnp.maximum(
+        b2[..., None] / jnp.maximum(1.0 + v * v - 2.0 * v * cbe, _EPS), 0.0))
+    s2 = u * s1
+    s3 = v * s1
+    ok = ok & (s1 > 0) & (s2 > 0) & (s3 > 0)
+
+    # camera-frame points, then absolute orientation from 3 pairs
+    Y1 = s1[..., None] * f1[..., None, :]   # [...,4,3]
+    Y2 = s2[..., None] * f2[..., None, :]
+    Y3 = s3[..., None] * f3[..., None, :]
+
+    def triad(P1, P2, P3):
+        e1 = P2 - P1
+        e1 = e1 / (jnp.linalg.norm(e1, axis=-1, keepdims=True) + _EPS)
+        n = jnp.cross(e1, P3 - P1)
+        e3 = n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + _EPS)
+        e2 = jnp.cross(e3, e1)
+        return jnp.stack([e1, e2, e3], axis=-1)  # columns
+
+    Bx = triad(jnp.broadcast_to(X1[..., None, :], Y1.shape),
+               jnp.broadcast_to(X2[..., None, :], Y1.shape),
+               jnp.broadcast_to(X3[..., None, :], Y1.shape))
+    By = triad(Y1, Y2, Y3)
+    R = By @ jnp.swapaxes(Bx, -1, -2)
+    t = Y1 - jnp.einsum("...ij,...j->...i", R, jnp.broadcast_to(X1[..., None, :], Y1.shape))
+    return R, t, ok
 
 
 def _reproj_err2_px(T_c_w: jnp.ndarray, pts_w: jnp.ndarray, uv: jnp.ndarray,
@@ -148,23 +263,39 @@ def solve_pnp_ransac(
     uv_n = jnp.stack(
         [(uv[:, 0] - cam.cx) / cam.fx, (uv[:, 1] - cam.cy) / cam.fy], axis=-1
     )
-    idx = sample_minimal_sets(key, valid, n_hypotheses, 6)       # [B,6]
-    R, t = _dlt_p6(pts_w[idx], uv_n[idx])                        # [B,3,3],[B,3]
-    Ts = jax.vmap(lie.rt_to_T)(R, t)                             # [B,4,4]
-    err2, z = _reproj_err2_px(Ts, pts_w, uv, cam)                # [B,N]
+    # P3P minimal solves: [B,3]-point samples -> up to 4 exact poses each.
+    # Minimal 3-point sets keep the clean-sample probability high under
+    # outliers, and Grunert's solve is exact (no DLT noise amplification).
+    idx = sample_minimal_sets(key, valid, n_hypotheses, 3)       # [B,3]
+    R, t, okh = p3p_grunert(pts_w[idx], uv_n[idx])               # [B,4,...]
+    R = R.reshape(-1, 3, 3)
+    t = t.reshape(-1, 3)
+    okh = okh.reshape(-1)
+    Ts = jax.vmap(lie.rt_to_T)(R, t)                             # [4B,4,4]
+    err2, z = _reproj_err2_px(Ts, pts_w, uv, cam)                # [4B,N]
     th2 = threshold_px * threshold_px
-    inl = (err2 < th2) & (z > 0) & valid[None, :]
-    counts = jnp.sum(inl, axis=-1)
-    best = jnp.argmax(counts)
+    cap = 4.0 * th2
+    msac = jnp.sum(
+        jnp.where(valid[None, :] & (z > 0), jnp.minimum(err2, cap), cap), axis=-1
+    )
+    msac = jnp.where(okh & jnp.all(jnp.isfinite(Ts.reshape(-1, 16)), axis=-1),
+                     msac, jnp.inf)
+    best = jnp.argmin(msac)
     T_best = Ts[best]
-    inl_best = inl[best]
 
-    # LM polish on consensus, then re-gate inliers (two rounds)
+    # LM polish: first round with soft truncated weights (non-zero gradient
+    # even when few strict inliers exist), then hard-gated rounds
+    err2b, zb = _reproj_err2_px(T_best, pts_w, uv, cam)
+    w_soft = jnp.where(valid & (zb > 0), jnp.minimum(1.0, cap / (err2b + 1e-9)), 0.0)
+    T_best = _gn_refine(T_best, pts_w, uv, w_soft, cam, refine_iterations)
+    inl_best = valid
     for _ in range(2):
-        w = inl_best.astype(pts_w.dtype)
-        T_best = _gn_refine(T_best, pts_w, uv, w, cam, refine_iterations)
         err2r, zr = _reproj_err2_px(T_best, pts_w, uv, cam)
         inl_best = (err2r < th2) & (zr > 0) & valid
+        T_best = _gn_refine(T_best, pts_w, uv, inl_best.astype(pts_w.dtype),
+                            cam, refine_iterations)
+    err2f, zf = _reproj_err2_px(T_best, pts_w, uv, cam)
+    inl_best = (err2f < th2) & (zf > 0) & valid
 
     n = jnp.sum(inl_best)
     return PnPResult(

