@@ -1,0 +1,89 @@
+"""Benchmark: full VO pipeline (init + tracking + local map + windowed BA)
+on the synthetic benchmark sequence, on whatever device JAX provides (the
+driver runs this on a real TPU chip).
+
+Prints ONE JSON line:
+  {"metric": "vo_fps", "value": <steady-state frames/s>, "unit": "frames/s",
+   "vs_baseline": <value / 15.0>, ...extras}
+
+Baseline note: the reference publishes no throughput at all (BASELINE.md) —
+its interactive loop blocks on cv::waitKey + PCL spin every frame
+(run_vo.cpp:220,310). 15 fps is the documented assumption for a
+C++/OpenCV ORB pipeline of its shape on desktop CPU; the north-star target
+is >10x that (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REFERENCE_FPS_ASSUMPTION = 15.0
+
+
+def main() -> int:
+    n_frames = int(os.environ.get("MVO_BENCH_FRAMES", "40"))
+    from monocular_visual_odometry_tpu.data import synthetic as syn
+    from monocular_visual_odometry_tpu.models import state as S
+    from monocular_visual_odometry_tpu.models.vo import VOEngine
+    from monocular_visual_odometry_tpu.utils import io as vio, metrics
+    from monocular_visual_odometry_tpu.utils.config import VOConfig
+
+    seq_dir = os.environ.get("MVO_BENCH_DIR", "/tmp/mvo_bench_seq")
+    gt_file = os.path.join(seq_dir, "cam_traj_truth.txt")
+    if not os.path.exists(os.path.join(seq_dir, f"rgb_{n_frames-1:05d}.png")):
+        syn.render_sequence(seq_dir, n_frames=n_frames, seed=0)
+    gt = vio.read_trajectory(gt_file)[:n_frames]
+
+    from PIL import Image
+
+    frames = [
+        np.asarray(Image.open(p).convert("L"), dtype=np.float32)
+        for p in vio.image_paths(seq_dir, n_frames)
+    ]
+
+    cfg = VOConfig()
+    engine = VOEngine(cfg, frames[0].shape[0], frames[0].shape[1])
+
+    est = []
+    per_frame = []
+    for img in frames:
+        t0 = time.perf_counter()
+        out = engine.add_frame(img)
+        per_frame.append(time.perf_counter() - t0)
+        est.append(np.asarray(out.T_w_c))
+    est = np.stack(est)
+
+    # steady state: median of tracking-stage frames after compilation
+    # settles (skip the first 12 frames: first-compiles of every stage)
+    steady = per_frame[12:]
+    med = float(np.median(steady)) if steady else float("inf")
+    fps = 1.0 / med if med > 0 else 0.0
+    ate = metrics.ate_rmse(est, gt, "sim3")
+
+    import jax
+
+    print(json.dumps({
+        "metric": "vo_fps",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / REFERENCE_FPS_ASSUMPTION, 2),
+        "extras": {
+            "ate_sim3": round(ate, 4),
+            "frames": n_frames,
+            "device": str(jax.devices()[0]),
+            "median_frame_ms": round(med * 1e3, 2),
+            "total_wall_s": round(sum(per_frame), 1),
+        },
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
