@@ -41,12 +41,10 @@ def main() -> int:
         syn.render_sequence(seq_dir, n_frames=n_frames, seed=0)
     gt = vio.read_trajectory(gt_file)[:n_frames]
 
-    from PIL import Image
+    from monocular_visual_odometry_tpu.runtime import FrameLoader
 
-    frames = [
-        np.asarray(Image.open(p).convert("L"), dtype=np.float32)
-        for p in vio.image_paths(seq_dir, n_frames)
-    ]
+    with FrameLoader(vio.image_paths(seq_dir, n_frames), 480, 640) as loader:
+        frames = [f.copy() for f in loader]
 
     cfg = VOConfig()
     engine = VOEngine(cfg, frames[0].shape[0], frames[0].shape[1])

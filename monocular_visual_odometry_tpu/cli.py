@@ -95,17 +95,23 @@ def main(argv=None) -> int:
         engine.state = load_state(args.resume, engine.state)
         print(f"[cli] resumed from {args.resume} at frame {int(engine.state.frame_idx)}")
 
+    # native prefetching loader (C++ libpng worker pool; PIL fallback)
+    from monocular_visual_odometry_tpu.runtime import FrameLoader, native_available
+
+    print(f"[cli] frame loader: {'native C++' if native_available() else 'python'}")
     timer = StageTimer()
     est = []
     t_start = time.perf_counter()
-    with jax_trace(args.profile_dir):
-        for i, p in enumerate(paths):
-            with timer.time("imread"):
-                try:
-                    img = np.asarray(Image.open(p).convert("L"), dtype=np.float32)
-                except Exception as e:  # noqa: BLE001 — mirror run_vo.cpp:115-119
-                    print(f"[cli] cannot read {p}: {e}; stopping")
-                    break
+    with jax_trace(args.profile_dir), FrameLoader(paths, H, W) as loader:
+        it = enumerate(loader)
+        while True:
+            try:  # stop on unreadable frame, keeping results (run_vo.cpp:115-119)
+                i, img = next(it)
+            except StopIteration:
+                break
+            except IOError as e:
+                print(f"[cli] frame read failed: {e}; stopping")
+                break
             with timer.time("vo_step"):
                 out = engine.add_frame(img)
             est.append(np.asarray(out.T_w_c))
