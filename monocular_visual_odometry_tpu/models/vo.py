@@ -70,8 +70,7 @@ def _tree_select(pred, a, b):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def step_first(cfg: VOConfig, cam: Camera, st: S.VOState, img: jnp.ndarray):
+def _step_first_impl(cfg: VOConfig, cam: Camera, st: S.VOState, img: jnp.ndarray):
     feats = features_from_config(img, cfg.orb)
     k = cfg.orb.max_keypoints
     eye = jnp.eye(4, dtype=jnp.float32)
@@ -102,8 +101,7 @@ def step_first(cfg: VOConfig, cam: Camera, st: S.VOState, img: jnp.ndarray):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def step_init(cfg: VOConfig, cam: Camera, st: S.VOState, img: jnp.ndarray):
+def _step_init_impl(cfg: VOConfig, cam: Camera, st: S.VOState, img: jnp.ndarray):
     feats = features_from_config(img, cfg.orb)
     rng, k_est = jax.random.split(st.rng)
     ref = st.ref_feats
@@ -193,8 +191,7 @@ def step_init(cfg: VOConfig, cam: Camera, st: S.VOState, img: jnp.ndarray):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "height", "width"))
-def step_track(cfg: VOConfig, cam: Camera, st: S.VOState, img: jnp.ndarray,
+def _step_track_impl(cfg: VOConfig, cam: Camera, st: S.VOState, img: jnp.ndarray,
                *, height: int, width: int):
     feats = features_from_config(img, cfg.orb)
     rng, k_pnp = jax.random.split(st.rng)
@@ -266,8 +263,7 @@ def step_track(cfg: VOConfig, cam: Camera, st: S.VOState, img: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "height", "width"))
-def keyframe_update(cfg: VOConfig, cam: Camera, st: S.VOState,
+def _keyframe_update_impl(cfg: VOConfig, cam: Camera, st: S.VOState,
                     feats: FrameFeatures, curr_mp: jnp.ndarray,
                     *, height: int, width: int):
     """vo_addFrame.cpp:92-124: match vs ref keyframe, epipolar-filter,
@@ -354,6 +350,63 @@ def keyframe_update(cfg: VOConfig, cam: Camera, st: S.VOState,
 
 
 # ---------------------------------------------------------------------------
+# fused per-frame step: ONE device call per frame
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "height", "width"))
+def step_fused(cfg: VOConfig, cam: Camera, st: S.VOState, img: jnp.ndarray,
+               *, height: int, width: int):
+    """The whole per-frame pipeline as a single jit-compiled call: stage
+    dispatch (lax.switch), tracking, windowed BA and keyframe update
+    (lax.cond). One dispatch + one bulk readback per frame — essential
+    when device dispatch has RPC latency (remote TPU) and desirable
+    everywhere (no host round-trips between stages)."""
+
+    def first_branch(st):
+        new, out = _step_first_impl(cfg, cam, st, img)
+        return new, out
+
+    def init_branch(st):
+        new, out = _step_init_impl(cfg, cam, st, img)
+        return new, out
+
+    def track_branch(st):
+        new, out, feats, curr_mp = _step_track_impl(
+            cfg, cam, st, img, height=height, width=width)
+        if cfg.ba.enabled:
+            from monocular_visual_odometry_tpu.models.ba import ba_update_state
+
+            new = jax.lax.cond(
+                out.tracking_ok,
+                lambda s: ba_update_state(cfg, cam, s),
+                lambda s: s,
+                new,
+            )
+        new = jax.lax.cond(
+            out.is_keyframe,
+            lambda s: _keyframe_update_impl(cfg, cam, s, feats, curr_mp,
+                                            height=height, width=width),
+            lambda s: s,
+            new,
+        )
+        out = out._replace(T_w_c=new.T_w_c, n_map_points=new.map.n_valid)
+        return new, out
+
+    return jax.lax.switch(st.stage, [first_branch, init_branch, track_branch], st)
+
+
+# jitted single-stage entry points (debugging / tests); the engine uses
+# step_fused
+step_first = functools.partial(jax.jit, static_argnames=("cfg",))(_step_first_impl)
+step_init = functools.partial(jax.jit, static_argnames=("cfg",))(_step_init_impl)
+step_track = functools.partial(
+    jax.jit, static_argnames=("cfg", "height", "width"))(_step_track_impl)
+keyframe_update = functools.partial(
+    jax.jit, static_argnames=("cfg", "height", "width"))(_keyframe_update_impl)
+
+
+# ---------------------------------------------------------------------------
 # host-side engine
 # ---------------------------------------------------------------------------
 
@@ -366,13 +419,15 @@ class VOEngine:
     compute never leaves the device.
     """
 
-    def __init__(self, cfg: VOConfig, height: int, width: int, seed: int = 0):
+    def __init__(self, cfg: VOConfig, height: int, width: int, seed: int = 0,
+                 fused: bool = True):
         self.cfg = cfg
         self.height = height
         self.width = width
         self.cam = Camera.create(cfg.dataset.fx, cfg.dataset.fy,
                                  cfg.dataset.cx, cfg.dataset.cy)
         self.state = S.init_state(cfg, seed)
+        self.fused = fused
         if cfg.ba.enabled:
             from monocular_visual_odometry_tpu.models.ba import ba_update_state
             self.ba_fn = ba_update_state
@@ -381,15 +436,24 @@ class VOEngine:
 
     def add_frame(self, img: np.ndarray) -> S.StepOutput:
         """Process one grayscale image [H,W] (uint8 or float). Returns the
-        StepOutput diagnostics (device arrays)."""
+        StepOutput diagnostics, fetched to host in one transfer."""
         img = jnp.asarray(img, dtype=jnp.float32)
+        if self.fused:
+            self.state, out = step_fused(self.cfg, self.cam, self.state, img,
+                                         height=self.height, width=self.width)
+            return jax.device_get(out)
+        return self._add_frame_staged(img)
+
+    def _add_frame_staged(self, img: jnp.ndarray) -> S.StepOutput:
+        """Multi-dispatch path (one jit call per stage) — useful for
+        debugging and for profiling individual stages."""
         stage = int(self.state.stage)
         if stage == S.STAGE_BLANK:
             self.state, out = step_first(self.cfg, self.cam, self.state, img)
-            return out
+            return jax.device_get(out)
         if stage == S.STAGE_INITIALIZING:
             self.state, out = step_init(self.cfg, self.cam, self.state, img)
-            return out
+            return jax.device_get(out)
         self.state, out, feats, curr_mp = step_track(
             self.cfg, self.cam, self.state, img,
             height=self.height, width=self.width)
@@ -400,4 +464,4 @@ class VOEngine:
             self.state = keyframe_update(
                 self.cfg, self.cam, self.state, feats, curr_mp,
                 height=self.height, width=self.width)
-        return out
+        return jax.device_get(out)

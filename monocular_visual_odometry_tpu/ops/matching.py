@@ -36,6 +36,16 @@ from monocular_visual_odometry_tpu.utils.config import MatchConfig
 _INF = jnp.float32(1e9)
 
 
+def _use_pallas(k1: int, k2: int) -> bool:
+    """Route to the Pallas streaming kernel on TPU-like backends when the
+    static capacities are tile-aligned (both are powers of two >= minimums
+    in practice)."""
+    import jax as _jax
+
+    return (_jax.default_backend() in ("tpu", "axon")
+            and k1 % 128 == 0 and k2 % 512 == 0)
+
+
 class Matches(NamedTuple):
     """Fixed-capacity match set (cv::DMatch array analogue)."""
 
@@ -123,24 +133,34 @@ def match_features(
     Returns one match slot per query keypoint ([K1]-sized ``Matches``);
     duplicates per train index resolved to the best distance.
     """
-    d = hamming_matrix(desc1, desc2, valid1, valid2)
-    K1, K2 = d.shape
+    K1 = desc1.shape[0]
+    K2 = desc2.shape[0]
     max_pixel_dist = jnp.asarray(max_pixel_dist, dtype=jnp.float32)
 
-    if method == 3:
-        assert kpts1 is not None and kpts2 is not None
-        r2 = pixel_dist2_matrix(kpts1, kpts2)
-        d = jnp.where(r2 <= max_pixel_dist * max_pixel_dist, d, _INF)
+    if _use_pallas(K1, K2):
+        # streaming MXU kernel: no [K1,K2] matrix in HBM
+        from monocular_visual_odometry_tpu.ops.pallas.hamming import hamming_nn_top2
+
+        radius = max_pixel_dist if method == 3 else jnp.float32(1e6)
+        uv1 = kpts1 if kpts1 is not None else jnp.zeros((K1, 2), jnp.float32)
+        uv2 = kpts2 if kpts2 is not None else jnp.zeros((K2, 2), jnp.float32)
+        best, second, train = hamming_nn_top2(
+            unpack_pm1(desc1), uv1, valid1, unpack_pm1(desc2), uv2, valid2, radius)
+    else:
+        d = hamming_matrix(desc1, desc2, valid1, valid2)
+        if method == 3:
+            assert kpts1 is not None and kpts2 is not None
+            r2 = pixel_dist2_matrix(kpts1, kpts2)
+            d = jnp.where(r2 <= max_pixel_dist * max_pixel_dist, d, _INF)
+        kk = min(2, K2)
+        neg_top2, idx_top2 = jax.lax.top_k(-d, kk)
+        best = -neg_top2[:, 0]
+        second = -neg_top2[:, 1] if kk == 2 else jnp.full_like(best, _INF)
+        train = idx_top2[:, 0].astype(jnp.int32)
 
     if method == 2:
-        neg_top2, idx_top2 = jax.lax.top_k(-d, 2)
-        best = -neg_top2[:, 0]
-        second = -neg_top2[:, 1]
-        train = idx_top2[:, 0]
         ok = (best < lowe_ratio * second) & (best < _INF)
     else:
-        train = jnp.argmin(d, axis=1).astype(jnp.int32)
-        best = jnp.min(d, axis=1)
         matched = best < _INF
         min_dist = jnp.min(jnp.where(matched, best, _INF))
         thresh = jnp.maximum(min_dist * xiang_gao_ratio, dist_floor)
