@@ -127,9 +127,13 @@ def ba_solve(cfg: VOConfig, cam: Camera, prob: BAProblem):
 
     When cfg.ba.fix_map_points (the reference default), the Schur step is
     skipped and the camera system is block-diagonal. Otherwise landmark
-    blocks are eliminated per point and recovered by back-substitution —
-    and unlike the reference (which documents divergence when optimizing
-    both, README.md:268), the damped joint optimization is stable.
+    blocks are eliminated per point and recovered by back-substitution.
+    The joint mode converges on well-posed problems (see tests/test_ba.py;
+    the reference documents outright divergence, README.md:268), but in
+    the streaming pipeline per-frame joint optimization of a 5-frame
+    window still degrades long-run map consistency (points shared with
+    out-of-window frames get dragged to fit recent noise) — so, like the
+    reference, the pipeline default keeps landmarks fixed.
     """
     W = cfg.ba.window
     M = prob.pts.shape[0]

@@ -396,6 +396,22 @@ def step_fused(cfg: VOConfig, cam: Camera, st: S.VOState, img: jnp.ndarray,
     return jax.lax.switch(st.stage, [first_branch, init_branch, track_branch], st)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "height", "width"))
+def run_sequence(cfg: VOConfig, cam: Camera, st: S.VOState, frames: jnp.ndarray,
+                 *, height: int, width: int):
+    """Process a whole [N, H, W] frame stack in ONE device dispatch via
+    lax.scan over the fused step — the offline/batch mode. Per-frame
+    dispatch latency (significant on remote-attached TPUs) disappears
+    entirely; the host gets back the final state plus stacked per-frame
+    StepOutputs."""
+
+    def body(s, img):
+        s, out = step_fused(cfg, cam, s, img, height=height, width=width)
+        return s, out
+
+    return jax.lax.scan(body, st, frames)
+
+
 # jitted single-stage entry points (debugging / tests); the engine uses
 # step_fused
 step_first = functools.partial(jax.jit, static_argnames=("cfg",))(_step_first_impl)

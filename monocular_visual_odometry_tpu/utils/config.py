@@ -103,7 +103,7 @@ class BAConfig:
     information_matrix: tuple = (1.0, 0.0, 0.0, 1.0)
     fix_map_points: bool = True          # is_ba_fix_map_points
     iterations: int = 20                 # LM iterations (g2o used 50; our LM converges faster)
-    huber_delta: float = 1.0             # robust kernel width (pixels·sqrt(info))
+    huber_delta: float = 3.0             # robust kernel width (pixels·sqrt(info))
     init_lambda: float = 1e-3
 
 
