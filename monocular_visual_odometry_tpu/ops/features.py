@@ -182,12 +182,37 @@ def pyramid_shapes(height: int, width: int, n_levels: int, scale: float) -> list
     ]
 
 
+def _interp_matrix(n_out: int, n_in: int) -> np.ndarray:
+    """Static [n_out, n_in] bilinear interpolation matrix (align-corners
+    false, matching jax.image.resize semantics)."""
+    A = np.zeros((n_out, n_in), dtype=np.float32)
+    scale = n_in / n_out
+    for i in range(n_out):
+        src = (i + 0.5) * scale - 0.5
+        j0 = int(np.floor(src))
+        f = src - j0
+        j0c = min(max(j0, 0), n_in - 1)
+        j1c = min(max(j0 + 1, 0), n_in - 1)
+        A[i, j0c] += 1.0 - f
+        A[i, j1c] += f
+    return A
+
+
 def build_pyramid(img: jnp.ndarray, n_levels: int, scale: float) -> list[jnp.ndarray]:
-    """Bilinear image pyramid; level 0 is the input [H,W] float32 in [0,255]."""
+    """Bilinear image pyramid; level 0 is the input [H,W] float32 in [0,255].
+
+    Resizing is expressed as two dense matmuls with static interpolation
+    matrices (rows @ img @ cols^T): on TPU this runs on the MXU, whereas
+    jax.image.resize lowers to gathers.
+    """
     shapes = pyramid_shapes(img.shape[0], img.shape[1], n_levels, scale)
     levels = [img]
     for l in range(1, n_levels):
-        levels.append(jax.image.resize(levels[-1], shapes[l], method="bilinear"))
+        h_in, w_in = levels[-1].shape
+        h_out, w_out = shapes[l]
+        Ar = jnp.asarray(_interp_matrix(h_out, h_in))
+        Ac = jnp.asarray(_interp_matrix(w_out, w_in))
+        levels.append(Ar @ levels[-1] @ Ac.T)
     return levels
 
 
