@@ -282,12 +282,20 @@ def _keyframe_update_impl(cfg: VOConfig, cam: Camera, st: S.VOState,
     uv1 = ref.kpts[m.query_idx]
     uv2 = feats.kpts[m.train_idx]
 
-    # E-RANSAC as outlier filter (helperFindInlierMatchesByEpipolarCons)
-    inl = twoview.find_inlier_matches_by_epipolar(
-        uv1, uv2, m.valid, cam, k_epi,
-        threshold_px=cfg.ransac.threshold_px,
-        n_hypotheses=cfg.ransac.n_hypotheses // 2,
-    )
+    # epipolar outlier filter. Default: Sampson gate with the tracked pose
+    # (cheap, no sampling noise). Parity flag: the reference's E-RANSAC
+    # re-estimate (helperFindInlierMatchesByEpipolarCons).
+    if cfg.ransac.keyframe_use_ransac_filter:
+        inl = twoview.find_inlier_matches_by_epipolar(
+            uv1, uv2, m.valid, cam, k_epi,
+            threshold_px=cfg.ransac.threshold_px,
+            n_hypotheses=cfg.ransac.n_hypotheses // 2,
+        )
+    else:
+        inl = twoview.epipolar_filter_known_pose(
+            uv1, uv2, m.valid, cam, st.ref_pose, st.T_w_c,
+            threshold_px=cfg.ransac.threshold_px,
+        )
 
     pts_w, ok3d = twoview.triangulate_with_pose(
         uv1, uv2, inl, cam, st.ref_pose, st.T_w_c)

@@ -37,12 +37,17 @@ _INF = jnp.float32(1e9)
 
 
 def _use_pallas(k1: int, k2: int) -> bool:
-    """Route to the Pallas streaming kernel on TPU-like backends when the
-    static capacities are tile-aligned (both are powers of two >= minimums
-    in practice)."""
+    """Route to the Pallas streaming kernel: opt-in via MVO_USE_PALLAS=1 on
+    TPU backends with tile-aligned capacities. Benchmarking on v5e showed
+    the fixed XLA path (bf16 MXU matmul + 3-reduction top-2) at parity or
+    better, so the kernel is kept as an alternative rather than the
+    default."""
+    import os as _os
+
     import jax as _jax
 
-    return (_jax.default_backend() in ("tpu", "axon")
+    return (_os.environ.get("MVO_USE_PALLAS") == "1"
+            and _jax.default_backend() in ("tpu", "axon")
             and k1 % 128 == 0 and k2 % 512 == 0)
 
 
@@ -71,17 +76,35 @@ def hamming_matrix(desc1: jnp.ndarray, desc2: jnp.ndarray,
 
     desc*: [K,32] uint8 packed; returns [K1,K2] float32 with invalid
     rows/cols set to +inf.
+
+    The +/-1 operands are fed to the MXU as bfloat16 with float32
+    accumulation: exact for this value range (products are +/-1, partial
+    sums <= 256), and unlike an int8 dot it is guaranteed to hit the
+    systolic array on all TPU generations.
     """
-    a = unpack_pm1(desc1)
-    b = unpack_pm1(desc2)
+    a = unpack_pm1(desc1).astype(jnp.bfloat16)
+    b = unpack_pm1(desc2).astype(jnp.bfloat16)
     dot = jax.lax.dot_general(
         a, b,
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
+        preferred_element_type=jnp.float32,
     )  # [K1,K2], in [-256, 256]
-    d = (256 - dot).astype(jnp.float32) * 0.5
+    d = (256.0 - dot) * 0.5
     d = jnp.where(valid1[:, None] & valid2[None, :], d, _INF)
     return d
+
+
+def top2_min(d: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(best, second, argmin) along the last axis via three reductions.
+
+    XLA's lax.top_k lowers to a full row sort on TPU — ~50x slower than
+    these min/argmin reductions for k=2.
+    """
+    best = jnp.min(d, axis=-1)
+    idx = jnp.argmin(d, axis=-1).astype(jnp.int32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, d.ndim - 1)
+    second = jnp.min(jnp.where(cols == idx[..., None], _INF, d), axis=-1)
+    return best, second, idx
 
 
 def pixel_dist2_matrix(kpts1: jnp.ndarray, kpts2: jnp.ndarray) -> jnp.ndarray:
@@ -152,11 +175,7 @@ def match_features(
             assert kpts1 is not None and kpts2 is not None
             r2 = pixel_dist2_matrix(kpts1, kpts2)
             d = jnp.where(r2 <= max_pixel_dist * max_pixel_dist, d, _INF)
-        kk = min(2, K2)
-        neg_top2, idx_top2 = jax.lax.top_k(-d, kk)
-        best = -neg_top2[:, 0]
-        second = -neg_top2[:, 1] if kk == 2 else jnp.full_like(best, _INF)
-        train = idx_top2[:, 0].astype(jnp.int32)
+        best, second, train = top2_min(d)
 
     if method == 2:
         ok = (best < lowe_ratio * second) & (best < _INF)

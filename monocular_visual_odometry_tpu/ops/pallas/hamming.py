@@ -46,9 +46,10 @@ def _kernel(q_desc_ref, q_uv_ref, q_valid_ref, t_desc_ref, t_uv_ref,
         best, second, idx = carry
         t = t_desc_ref[pl.ds(i * TT, TT), :]            # [TT,256] int8
         dot = jax.lax.dot_general(
-            q, t, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32)            # [TQ,TT]
-        d = (256 - dot).astype(jnp.float32) * 0.5
+            q.astype(jnp.bfloat16), t.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [TQ,TT], exact
+        d = (256.0 - dot) * 0.5
         tu = t_uv_ref[pl.ds(i * TT, TT), :]              # [TT,2]
         tv = t_valid_ref[pl.ds(i * TT, TT), :]           # [TT,1]
         du = qu[:, 0:1] - tu[:, 0][None, :]

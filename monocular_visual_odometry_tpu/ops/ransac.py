@@ -25,13 +25,24 @@ def sample_minimal_sets(key: jax.Array, valid: jnp.ndarray, n_hypotheses: int,
     invalid indices can appear; downstream scoring masks those hypotheses
     out naturally (their solves are degenerate and score ~0 inliers).
 
+    The top-k itself is ``sample_size`` successive argmax+mask reductions:
+    lax.top_k lowers to a full row sort on TPU, which for minimal-set
+    sizes (3-10) is orders of magnitude more work than k reductions.
+
     Returns [B, sample_size] int32 indices.
     """
     n = valid.shape[0]
-    g = jax.random.gumbel(key, (n_hypotheses, n))
-    g = jnp.where(valid[None, :], g, -jnp.inf)
-    _, idx = jax.lax.top_k(g, sample_size)
-    return idx.astype(jnp.int32)
+    g = jnp.where(valid[None, :], jax.random.gumbel(key, (n_hypotheses, n)),
+                  -jnp.inf)
+
+    def pick(g, _):
+        idx = jnp.argmax(g, axis=-1).astype(jnp.int32)
+        cols = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
+        g = jnp.where(cols == idx[:, None], -jnp.inf, g)
+        return g, idx
+
+    _, idx = jax.lax.scan(pick, g, None, length=sample_size)
+    return jnp.swapaxes(idx, 0, 1)  # [B, sample_size]
 
 
 def nullspace_via_eigh(A: jnp.ndarray) -> jnp.ndarray:

@@ -155,6 +155,30 @@ def find_inlier_matches_by_epipolar(
     return m.inliers
 
 
+def epipolar_filter_known_pose(
+    uv1: jnp.ndarray, uv2: jnp.ndarray, valid: jnp.ndarray,
+    cam: Camera, T_w_c1: jnp.ndarray, T_w_c2: jnp.ndarray,
+    *, threshold_px: float = 1.0,
+) -> jnp.ndarray:
+    """Epipolar outlier gate using the *tracked* relative pose instead of a
+    RANSAC re-estimate: |sampson(x1, x2; R, t)| < threshold.
+
+    Cheaper drop-in for find_inlier_matches_by_epipolar at keyframe time —
+    the reference re-runs cv::findEssentialMat there
+    (helperFindInlierMatchesByEpipolarCons, motion_estimation.cpp:182-198)
+    even though tracking has already produced the pose; with a known pose
+    the RANSAC adds cost and sampling noise but no information.
+    """
+    x1 = pixel2cam_norm_plane(uv1, cam)
+    x2 = pixel2cam_norm_plane(uv2, cam)
+    T_2_1 = lie.relative_T(T_w_c2, T_w_c1)
+    R, t = lie.T_to_rt(T_2_1)
+    tn = t / (jnp.linalg.norm(t) + 1e-9)
+    r = epi._sampson_residuals(R, tn, x1, x2)
+    focal = (cam.fx + cam.fy) * 0.5
+    return valid & (jnp.abs(r) < threshold_px / focal)
+
+
 def triangulate_with_pose(
     uv1: jnp.ndarray, uv2: jnp.ndarray, valid: jnp.ndarray,
     cam: Camera, T_w_c1: jnp.ndarray, T_w_c2: jnp.ndarray,

@@ -66,6 +66,11 @@ class RansacConfig:
     pnp_n_hypotheses: int = 256
     pnp_reproj_threshold_px: float = 2.0 # cv::solvePnPRansac threshold (vo.cpp:318)
     pnp_min_inliers: int = 5
+    keyframe_use_ransac_filter: bool = False  # True = reference-style E-RANSAC
+                                              # re-estimate at keyframe time;
+                                              # False = Sampson gate with the
+                                              # tracked pose (cheaper, no
+                                              # sampling noise)
 
 
 @dataclass(frozen=True)
