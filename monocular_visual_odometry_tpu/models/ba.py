@@ -193,7 +193,14 @@ def ba_solve(cfg: VOConfig, cam: Camera, prob: BAProblem):
             gp_obs = jnp.einsum("wkai,wka->wki", J_p, Wr2).reshape(-1, 3)
             A = jnp.zeros((M, 3, 3), r.dtype).at[flat_pid].add(Hpp_obs)
             b_p = jnp.zeros((M, 3), r.dtype).at[flat_pid].add(gp_obs)
-            A = A + lam * jnp.eye(3, dtype=r.dtype)[None]
+            # Damping with a relative Tikhonov floor: a landmark seen from
+            # ~2 nearby cameras has a near-null depth direction; bounding
+            # each block's condition number (<=1e4) keeps its inverse from
+            # amplifying f32 summation-order noise into arbitrary updates.
+            dmax = jnp.maximum(
+                A[:, jnp.arange(3), jnp.arange(3)].max(-1), 1e-12)
+            A = A + (lam + 1e-4 * dmax)[:, None, None] * jnp.eye(
+                3, dtype=r.dtype)[None]
             A = jnp.where(prob.pt_used[:, None, None], A,
                           jnp.broadcast_to(jnp.eye(3, dtype=r.dtype), A.shape))
             A_inv = jnp.linalg.inv(A)                                  # [M,3,3]

@@ -93,7 +93,12 @@ def _dist_lm(cfg: VOConfig, cam: Camera, T_c_w0, obs_uv, obs_pid, obs_valid,
         gp_obs = jnp.einsum("wkai,wka->wki", J_p, Wr2).reshape(-1, 3)
         A = jnp.zeros((M_loc, 3, 3), r.dtype).at[safe_pid].add(Hpp_obs, mode="drop")
         b_p = jnp.zeros((M_loc, 3), r.dtype).at[safe_pid].add(gp_obs, mode="drop")
-        A = A + lam * jnp.eye(3, dtype=r.dtype)[None]
+        # relative Tikhonov floor — must match models.ba exactly so both
+        # solvers produce identical updates (see test_dist_ba)
+        dmax = jnp.maximum(
+            A[:, jnp.arange(3), jnp.arange(3)].max(-1), 1e-12)
+        A = A + (lam + 1e-4 * dmax)[:, None, None] * jnp.eye(
+            3, dtype=r.dtype)[None]
         A = jnp.where(pt_used_shard[:, None, None], A,
                       jnp.broadcast_to(jnp.eye(3, dtype=r.dtype), A.shape))
         A_inv = jnp.linalg.inv(A)

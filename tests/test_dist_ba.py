@@ -48,8 +48,15 @@ def test_dist_matches_single_device_one_iteration():
     used = np.asarray(prob.pt_used)
     d = np.abs(np.asarray(pts_dist)[used] - np.asarray(pts_ref)[used]).max(1)
     assert np.percentile(d, 75) < 0.05, np.percentile(d, 75)
-    assert d.max() < 0.3, d.max()
-    np.testing.assert_allclose(np.asarray(c_dist), np.asarray(c_ref), rtol=1e-2)
+    # The solver's relative Tikhonov floor bounds each point block's
+    # condition number at ~1e4, so f32 summation-order noise (~1e-7 rel on
+    # the Gram sums) can disturb a point update by at most a few percent of
+    # its magnitude — observed tail max ~0.1 on the worst 2-observation
+    # landmarks (without the floor this was unbounded: 0.47+ flakes).
+    assert d.max() < 0.2, d.max()
+    # Cost after one step inherits the tail points' few-percent update
+    # differences (their residuals dominate the decrease on this problem).
+    np.testing.assert_allclose(np.asarray(c_dist), np.asarray(c_ref), rtol=0.1)
 
 
 def test_dist_reaches_single_device_cost():
