@@ -2,33 +2,55 @@
 
 Replaces ``cv::ORB::detect/compute`` and the grid-uniform keypoint
 subsampling of the reference (``/root/reference/src/geometry/
-feature_match.cpp:11-84``, params ``config/config.yaml:65-69,94-95``) with a
-fully vectorized XLA formulation:
+feature_match.cpp:11-84``, params ``config/config.yaml:65-69,94-95``).
 
-- image pyramid (``level_pyramid`` levels, scale ``scale_factor``)
-- FAST-9/16 segment test as bitwise ops over 16 shifted image planes (VPU)
-- Harris corner response for ranking (ORB's HARRIS_SCORE), via small convs
-- 3x3 non-max suppression + per-level top-N candidates (fixed shapes)
-- grid-uniform selection: <=``max_pts_per_grid`` keypoints per
-  ``grid_size``-px cell, <=``max_keypoints`` total — a sort+rank
-  formulation of ``selectUniformKptsByGrid`` (feature_match.cpp:51-84)
-- orientation by intensity centroid over a 31x31 window, computed with
-  *separable convolutions* + one gather per keypoint (instead of per-pixel
-  patch gathers)
-- steered-BRIEF 256-bit descriptors: fixed random pair pattern (classic
-  BRIEF generation, seeded), rotated per keypoint, sampled from the
-  5x5-box-smoothed pyramid level, bit-packed to [K, 32] uint8
+Architecture (v2, profiled on TPU v5e): everything runs on a single
+**pyramid atlas** — all pyramid levels packed side-by-side into one canvas
+with 32-px gutters — so every image-plane op (FAST segment test, Harris,
+NMS, box filters, moment maps) executes exactly once over one large array
+instead of once per level. This matters doubly on TPU:
+
+- each op is one big VPU pass (fewer, larger fusions; the per-level variant
+  produced 15+ sub-ms conv fusions and 23 ms of per-level gathers);
+- ``conv_general_dilated`` with a single channel lowers catastrophically on
+  TPU (7.2 ms for one 31-tap separable pass at our sizes, measured), so all
+  filters here are expressed as *shift-adds* (3-tap) or *cumulative-sum box
+  filters* (wide windows) — pure elementwise/scan work that XLA fuses.
+
+Per-keypoint random gathers are the other TPU cost cliff (~7 ns/element on
+v5e regardless of formulation — measured via the device profiler). The
+descriptor therefore samples a shared **pool** of 128 rotated points per
+keypoint (one [K,128] gather) and forms its 256 bit-pair comparisons from
+that pool with static indexing (free), instead of gathering 2x256
+independent sample points per keypoint per level (the v1 design: 8 gathers
+of [K,256], ~23 ms/frame).
+
+Pipeline:
+- bilinear pyramid via static interpolation *matmuls* (MXU), packed into
+  the atlas;
+- FAST-9/16 segment test as bitwise ops over 16 shifted planes (VPU);
+- Harris response (ORB's HARRIS_SCORE) from shift-add Sobel + cumsum box;
+- 3x3 non-max suppression;
+- per-grid-cell top-``max_pts_per_grid`` via iterated masked argmax over a
+  [cells, cell_area] view (no sorts), then global top-``max_keypoints`` —
+  the reference's ``selectUniformKptsByGrid`` (feature_match.cpp:51-84);
+- orientation by intensity centroid: 31x31 moment maps via the box-filter
+  identity ``ramp*I = box(x*I) - x*box(I)``, one [K] gather each;
+- steered-BRIEF 256-bit descriptors from the 128-point pool on the
+  5x5-box-smoothed atlas, bit-packed to [K, 32] uint8.
 
 Everything is static-shape: a frame always yields ``max_keypoints`` slots
-with a validity mask. Candidate/keypoint counts that vary per frame in the
-reference become masks here (SURVEY.md §8.3 "dynamic shapes under jit").
+with a validity mask (SURVEY.md §8.3 "dynamic shapes under jit").
 
 Deliberate deviations from cv::ORB (documented per SURVEY.md §7):
-- the BRIEF pair pattern is our own seeded-random pattern, not OpenCV's
-  learned table (descriptors only ever match against our own);
-- the orientation centroid window is square (separable conv) rather than a
-  disc; matching behavior is unaffected since both frames use the same
-  operator;
+- the BRIEF test pairs are drawn from a shared 128-point pool (our own
+  seeded pattern, not OpenCV's learned table); descriptors only ever match
+  against our own, so only self-consistency matters;
+- the orientation centroid window is square (box-filter identity) rather
+  than a disc;
+- the grid cap applies per (level, cell) on the atlas rather than on
+  level-0-projected cells across levels; spatial uniformity is preserved
+  and the cap is exact per level;
 - grid selection keeps the top-scoring (not first-encountered) points per
   cell, fixing the reference's order dependence.
 """
@@ -37,7 +59,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import NamedTuple, Sequence
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -54,7 +76,19 @@ _FAST_OFFSETS = np.array(
     dtype=np.int32,
 )
 
-_BORDER = 16  # discard detections closer than this to a level's edge
+# Keypoints closer than this to a level's edge are discarded. Must cover the
+# rotated BRIEF pool reach (15 * sqrt(2) ~= 21.3) so descriptor sampling
+# never crosses a level boundary. (cv::ORB's edgeThreshold is 31.)
+_BORDER = 22
+
+# Inter-level gutter and outer margin of the atlas. Must exceed every filter
+# radius (max 15, the centroid/BRIEF patch) so no image-plane op mixes
+# pixels from two levels.
+_MARGIN = 32
+
+_POOL_SIZE = 128   # shared BRIEF sample-point pool per keypoint
+_N_BITS = 256
+_PATCH_RADIUS = 15
 
 
 class FrameFeatures(NamedTuple):
@@ -73,45 +107,73 @@ class FrameFeatures(NamedTuple):
         return jnp.sum(self.valid.astype(jnp.int32))
 
 
-def brief_pattern(seed: int = 42, n_bits: int = 256, patch_radius: int = 15) -> np.ndarray:
-    """Fixed random BRIEF pair pattern [n_bits, 4] = (x1, y1, x2, y2),
-    Gaussian(0, patch/5) clipped to the patch (classic BRIEF-II)."""
+def brief_pool_pattern(seed: int = 42, n_points: int = _POOL_SIZE,
+                       n_bits: int = _N_BITS,
+                       patch_radius: int = _PATCH_RADIUS):
+    """Shared-pool BRIEF pattern: ``n_points`` Gaussian(0, patch/2.2) sample
+    offsets clipped to the patch, plus ``n_bits`` distinct (i, j) index
+    pairs into the pool. Returns (points [P,2] int32, pair_i [B], pair_j [B])."""
     rng = np.random.default_rng(seed)
     sigma = patch_radius / 2.2
     pts = np.clip(
-        np.round(rng.normal(0.0, sigma, size=(n_bits, 4))), -patch_radius, patch_radius
+        np.round(rng.normal(0.0, sigma, size=(n_points, 2))),
+        -patch_radius, patch_radius,
     ).astype(np.int32)
-    return pts
+    # distinct unordered pairs with i != j
+    seen = set()
+    pair_i, pair_j = [], []
+    while len(pair_i) < n_bits:
+        i, j = rng.integers(0, n_points, 2)
+        if i == j or (i, j) in seen or (j, i) in seen:
+            continue
+        seen.add((i, j))
+        pair_i.append(i)
+        pair_j.append(j)
+    return pts, np.asarray(pair_i, np.int32), np.asarray(pair_j, np.int32)
 
 
-_PATTERN = brief_pattern()
+_POOL_PTS, _PAIR_I, _PAIR_J = brief_pool_pattern()
 
 
 # ---------------------------------------------------------------------------
-# small convolution helpers (XLA convs; NCHW with singleton batch/channel)
+# shift / box-filter primitives (no conv_general_dilated — see module doc)
 # ---------------------------------------------------------------------------
 
 
-def _correlate2d(img: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
-    """'same' cross-correlation of [H,W] with a small static kernel."""
-    k = jnp.asarray(kernel, dtype=img.dtype)
-    out = jax.lax.conv_general_dilated(
-        img[None, None], k[None, None],
-        window_strides=(1, 1), padding="SAME",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )
-    return out[0, 0]
+def _shift(img: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """out[y, x] = img[y + dy, x + dx], zero beyond the edge. Static shifts
+    lower to pad+slice and fuse into neighbouring elementwise ops."""
+    H, W = img.shape
+    pad = jnp.pad(img, ((max(-dy, 0), max(dy, 0)), (max(-dx, 0), max(dx, 0))))
+    return jax.lax.slice(pad, (max(dy, 0), max(dx, 0)),
+                         (max(dy, 0) + H, max(dx, 0) + W))
 
 
-def _correlate_sep(img: jnp.ndarray, ky: np.ndarray, kx: np.ndarray) -> jnp.ndarray:
-    """Separable 'same' correlation: column kernel then row kernel."""
-    out = _correlate2d(img, np.asarray(ky, dtype=np.float32).reshape(-1, 1))
-    return _correlate2d(out, np.asarray(kx, dtype=np.float32).reshape(1, -1))
+def _box1d(img: jnp.ndarray, r: int, axis: int) -> jnp.ndarray:
+    """(2r+1)-tap box sum along ``axis`` with zero ('SAME') boundary, via
+    cumulative sums — two passes regardless of r."""
+    n = img.shape[axis]
+    c = jnp.cumsum(img, axis=axis)
+    pad = [(0, 0), (0, 0)]
+    pad[axis] = (r + 1, r)
+    c = jnp.pad(c, pad)
+    hi = jax.lax.slice_in_dim(c, 2 * r + 1, 2 * r + 1 + n, axis=axis)
+    lo = jax.lax.slice_in_dim(c, 0, n, axis=axis)
+    return hi - lo
 
 
-def _box_blur(img: jnp.ndarray, size: int) -> jnp.ndarray:
-    k = np.full(size, 1.0 / size, dtype=np.float32)
-    return _correlate_sep(img, k, k)
+def box_filter(img: jnp.ndarray, r: int) -> jnp.ndarray:
+    """(2r+1)x(2r+1) box *sum* (not mean), zero boundary."""
+    return _box1d(_box1d(img, r, 1), r, 0)
+
+
+def _sobel(img: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Sobel gradients as shift-adds: smooth [1,2,1]/4 x diff [-1,0,1]/2."""
+    sm_y = (_shift(img, -1, 0) + 2.0 * img + _shift(img, 1, 0)) * 0.25
+    sm_x = (_shift(img, 0, -1) + 2.0 * img + _shift(img, 0, 1)) * 0.25
+    gx = (_shift(sm_y, 0, 1) - _shift(sm_y, 0, -1)) * 0.5
+    gy = (_shift(sm_x, 1, 0) - _shift(sm_x, -1, 0)) * 0.5
+    return gx, gy
 
 
 # ---------------------------------------------------------------------------
@@ -131,7 +193,7 @@ def fast_corner_mask(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
     bright_bits = jnp.zeros((H, W), dtype=jnp.uint32)
     dark_bits = jnp.zeros((H, W), dtype=jnp.uint32)
     for i, (dx, dy) in enumerate(_FAST_OFFSETS):
-        p = jax.lax.dynamic_slice(pad, (3 + int(dy), 3 + int(dx)), (H, W))
+        p = jax.lax.slice(pad, (3 + int(dy), 3 + int(dx)), (3 + int(dy) + H, 3 + int(dx) + W))
         bright_bits |= (p > center + threshold).astype(jnp.uint32) << i
         dark_bits |= (p < center - threshold).astype(jnp.uint32) << i
 
@@ -147,15 +209,14 @@ def fast_corner_mask(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
 
 
 def harris_response(img: jnp.ndarray, k: float = 0.04, window: int = 7) -> jnp.ndarray:
-    """Harris corner response (ORB's ranking score), [H,W] float32."""
-    sobel_x = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], dtype=np.float32) / 8.0
-    sobel_y = sobel_x.T
-    ix = _correlate2d(img, sobel_x)
-    iy = _correlate2d(img, sobel_y)
-    w = np.full(window, 1.0 / window, dtype=np.float32)
-    ixx = _correlate_sep(ix * ix, w, w)
-    iyy = _correlate_sep(iy * iy, w, w)
-    ixy = _correlate_sep(ix * iy, w, w)
+    """Harris corner response (ORB's ranking score), [H,W] float32.
+    Sobel via shift-adds, structure-tensor window via cumsum box filters."""
+    r = window // 2
+    inv_n = 1.0 / float(window * window)
+    gx, gy = _sobel(img)
+    ixx = box_filter(gx * gx, r) * inv_n
+    iyy = box_filter(gy * gy, r) * inv_n
+    ixy = box_filter(gx * gy, r) * inv_n
     det = ixx * iyy - ixy * ixy
     tr = ixx + iyy
     return det - k * tr * tr
@@ -170,7 +231,7 @@ def _nms3(score: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# pyramid + candidate detection
+# pyramid atlas
 # ---------------------------------------------------------------------------
 
 
@@ -180,6 +241,25 @@ def pyramid_shapes(height: int, width: int, n_levels: int, scale: float) -> list
          max(int(round(width / scale**l)), 2 * _BORDER + 8))
         for l in range(n_levels)
     ]
+
+
+@functools.lru_cache(maxsize=16)
+def atlas_geometry(height: int, width: int, n_levels: int, scale: float,
+                   grid_size: int = 16):
+    """Static atlas layout: level shapes, per-level (ox, oy) atlas offsets,
+    and atlas dims rounded up to the grid (rows/cols beyond the content are
+    gutter). Levels sit side-by-side with ``_MARGIN``-px gutters."""
+    shapes = pyramid_shapes(height, width, n_levels, scale)
+    offsets = []
+    ox = _MARGIN
+    for (h, w) in shapes:
+        offsets.append((ox, _MARGIN))
+        ox += w + _MARGIN
+    def _round_up(v, m):
+        return ((v + m - 1) // m) * m
+    H_A = _round_up(height + 2 * _MARGIN, grid_size)
+    W_A = _round_up(ox, max(grid_size, 128))
+    return shapes, offsets, H_A, W_A
 
 
 def _interp_matrix(n_out: int, n_in: int) -> np.ndarray:
@@ -216,55 +296,67 @@ def build_pyramid(img: jnp.ndarray, n_levels: int, scale: float) -> list[jnp.nda
     return levels
 
 
-def _level_candidates(img_l: jnp.ndarray, n_cand: int, threshold: float,
-                      harris_k: float) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Top-``n_cand`` FAST+Harris corners at one pyramid level.
-    Returns (xy [n,2] int32 level coords, score [n]); invalid slots have
-    score -inf."""
-    H, W = img_l.shape
-    fast = fast_corner_mask(img_l, threshold)
-    harris = harris_response(img_l, k=harris_k)
-    score = jnp.where(fast & _nms3(harris), harris, -jnp.inf)
-    # kill borders
-    ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
-    xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-    inside = (xs >= _BORDER) & (xs < W - _BORDER) & (ys >= _BORDER) & (ys < H - _BORDER)
-    score = jnp.where(inside, score, -jnp.inf)
-    flat = score.reshape(-1)
-    top_scores, top_idx = jax.lax.top_k(flat, n_cand)
-    xy = jnp.stack([top_idx % W, top_idx // W], axis=-1).astype(jnp.int32)
-    return xy, top_scores
+def build_atlas(img: jnp.ndarray, n_levels: int, scale: float,
+                grid_size: int = 16) -> jnp.ndarray:
+    """Pack the bilinear pyramid into one [H_A, W_A] canvas (zeros in the
+    gutters)."""
+    H, W = img.shape
+    shapes, offsets, H_A, W_A = atlas_geometry(H, W, n_levels, scale, grid_size)
+    levels = build_pyramid(img, n_levels, scale)
+    cols = []
+    for (h, w), (ox, oy), lvl in zip(shapes, offsets, levels):
+        cols.append(jnp.pad(lvl, ((oy, H_A - oy - h), (_MARGIN, 0))))
+    atlas = jnp.concatenate(cols, axis=1)
+    return jnp.pad(atlas, ((0, 0), (0, W_A - atlas.shape[1])))
 
 
-def grid_select(xy0: jnp.ndarray, scores: jnp.ndarray, levels: jnp.ndarray,
-                valid: jnp.ndarray, *, grid_size: int, max_per_cell: int,
-                max_total: int, width: int) -> jnp.ndarray:
-    """Grid-uniform selection (selectUniformKptsByGrid, feature_match.cpp:51-84).
+@functools.lru_cache(maxsize=16)
+def _atlas_constants(height: int, width: int, n_levels: int, scale: float,
+                     grid_size: int = 16):
+    """Static numpy lookups for the atlas: the inside-mask (border-respecting
+    validity), the column->level map, and per-level coordinate-recovery
+    vectors."""
+    shapes, offsets, H_A, W_A = atlas_geometry(height, width, n_levels, scale,
+                                               grid_size)
+    inside = np.zeros((H_A, W_A), dtype=bool)
+    col_level = np.zeros(W_A, dtype=np.int32)
+    for l, ((h, w), (ox, oy)) in enumerate(zip(shapes, offsets)):
+        inside[oy + _BORDER: oy + h - _BORDER, ox + _BORDER: ox + w - _BORDER] = True
+        col_level[ox: ox + w] = l
+    lvl_ox = np.asarray([o[0] for o in offsets], dtype=np.float32)
+    lvl_oy = np.asarray([o[1] for o in offsets], dtype=np.float32)
+    lvl_scale = np.asarray([scale**l for l in range(n_levels)], dtype=np.float32)
+    return inside, col_level, lvl_ox, lvl_oy, lvl_scale
 
-    Sort-based, O(C log C), no scatter loops: candidates sorted by
-    (cell, -score); within-cell rank via searchsorted on the sorted cell
-    ids; keep rank < max_per_cell; then global top-``max_total`` by score.
 
-    Returns indices [max_total] into the candidate arrays; slot i is valid
-    iff the returned gathered ``valid`` flag holds (invalid candidates sort
-    to the back and are masked by the caller via scores=-inf).
-    """
-    n_cells_x = (width + grid_size - 1) // grid_size
-    cell = (xy0[:, 1] // grid_size) * n_cells_x + (xy0[:, 0] // grid_size)
-    cell = jnp.where(valid, cell, jnp.iinfo(jnp.int32).max)
-    # sort by cell, tie-break by descending score: encode key as float64-safe
-    # composite using argsort on (cell, -score) via lexsort-style two-pass:
-    order_by_score = jnp.argsort(-scores)                     # best first (stable)
-    cell_sorted_by_score = cell[order_by_score]
-    order = jnp.argsort(cell_sorted_by_score, stable=True)    # within cell keeps score order
-    perm = order_by_score[order]                              # final: by cell, best-first
-    cells_final = cell[perm]
-    first_of_cell = jnp.searchsorted(cells_final, cells_final, side="left")
-    rank_in_cell = jnp.arange(cells_final.shape[0], dtype=jnp.int32) - first_of_cell.astype(jnp.int32)
-    keep = (rank_in_cell < max_per_cell) & valid[perm]
-    kept_scores = jnp.where(keep, scores[perm], -jnp.inf)
-    _, top = jax.lax.top_k(kept_scores, max_total)
-    return perm[top]
+# ---------------------------------------------------------------------------
+# grid-uniform candidate selection (per-cell top-k, no sorts)
+# ---------------------------------------------------------------------------
+
+
+def cell_topk(score: jnp.ndarray, cell: int, k: int):
+    """Per-cell top-``k`` of a [H, W] score map over a ``cell``x``cell``
+    grid (H, W multiples of ``cell``), via ``k`` iterations of masked
+    argmax — no sort. Returns (scores [C*k], ys [C*k], xs [C*k])."""
+    H, W = score.shape
+    ncy, ncx = H // cell, W // cell
+    c = score.reshape(ncy, cell, ncx, cell).transpose(0, 2, 1, 3)
+    c = c.reshape(ncy * ncx, cell * cell)
+    iota = jax.lax.broadcasted_iota(jnp.int32, c.shape, 1)
+    vals, idxs = [], []
+    s = c
+    for _ in range(k):
+        i = jnp.argmax(s, axis=1).astype(jnp.int32)
+        v = jnp.max(s, axis=1)
+        s = jnp.where(iota == i[:, None], -jnp.inf, s)
+        vals.append(v)
+        idxs.append(i)
+    v = jnp.stack(vals, axis=1).reshape(-1)          # [C*k]
+    i = jnp.stack(idxs, axis=1).reshape(-1)
+    cid = jnp.repeat(jnp.arange(ncy * ncx, dtype=jnp.int32), k)
+    ys = (cid // ncx) * cell + i // cell
+    xs = (cid % ncx) * cell + i % cell
+    return v, ys, xs
 
 
 # ---------------------------------------------------------------------------
@@ -272,45 +364,34 @@ def grid_select(xy0: jnp.ndarray, scores: jnp.ndarray, levels: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
-def _centroid_moment_maps(img_l: jnp.ndarray, radius: int = 15) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """m10 and m01 intensity-centroid maps over a (2r+1)^2 window, as two
-    separable correlations each (MXU/VPU work instead of per-kpt gathers)."""
-    ramp = np.arange(-radius, radius + 1, dtype=np.float32)
-    ones = np.ones(2 * radius + 1, dtype=np.float32)
-    m10 = _correlate_sep(img_l, ones, ramp)   # sum_x dx * I
-    m01 = _correlate_sep(img_l, ramp, ones)   # sum_y dy * I
+def _moment_maps(img: jnp.ndarray, radius: int = _PATCH_RADIUS):
+    """Intensity-centroid moment maps m10, m01 over a (2r+1)^2 window using
+    the box-filter identity: sum_dx dx*I(x+dx) = box(x*I) - x*box(I)."""
+    H, W = img.shape
+    xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    bx_i = _box1d(img, radius, 1)
+    m10 = _box1d(_box1d(xs * img, radius, 1) - xs * bx_i, radius, 0)
+    by_i = _box1d(img, radius, 0)
+    m01 = _box1d(_box1d(ys * img, radius, 0) - ys * by_i, radius, 1)
     return m10, m01
 
 
-def _gather_pixels(img_pad: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndarray:
-    return img_pad[ys, xs]
-
-
-def _descriptors_at_level(img_l: jnp.ndarray, kpts_l: jnp.ndarray,
-                          angles: jnp.ndarray) -> jnp.ndarray:
-    """Steered-BRIEF bits for keypoints at one level.
-
-    kpts_l: [K,2] float level coords; angles: [K]. Returns [K,32] uint8.
-    Out-of-range coords must be pre-clamped by the caller.
-    """
-    PAD = 24  # covers rotated patch radius 15*sqrt(2) ~= 22
-    img_pad = jnp.pad(_box_blur(img_l, 5), PAD, mode="edge")
-    pat = jnp.asarray(_PATTERN, dtype=jnp.float32)  # [256,4]
-    ca, sa = jnp.cos(angles), jnp.sin(angles)       # [K]
-
-    def rot(px, py):
-        # [K,256] rotated integer offsets
-        rx = jnp.round(ca[:, None] * px[None, :] - sa[:, None] * py[None, :]).astype(jnp.int32)
-        ry = jnp.round(sa[:, None] * px[None, :] + ca[:, None] * py[None, :]).astype(jnp.int32)
-        return rx, ry
-
-    x0 = jnp.round(kpts_l[:, 0]).astype(jnp.int32) + PAD
-    y0 = jnp.round(kpts_l[:, 1]).astype(jnp.int32) + PAD
-    r1x, r1y = rot(pat[:, 0], pat[:, 1])
-    r2x, r2y = rot(pat[:, 2], pat[:, 3])
-    i1 = _gather_pixels(img_pad, y0[:, None] + r1y, x0[:, None] + r1x)  # [K,256]
-    i2 = _gather_pixels(img_pad, y0[:, None] + r2y, x0[:, None] + r2x)
-    bits = (i1 < i2).astype(jnp.uint8)                                   # [K,256]
+def _descriptors_from_pool(blur_flat: jnp.ndarray, W_A: int,
+                           xa: jnp.ndarray, ya: jnp.ndarray,
+                           angles: jnp.ndarray) -> jnp.ndarray:
+    """Steered-BRIEF bits via the shared sample pool: one [K, P] gather from
+    the flattened smoothed atlas, then 256 static pair comparisons."""
+    pat = jnp.asarray(_POOL_PTS, dtype=jnp.float32)   # [P,2]
+    ca, sa = jnp.cos(angles), jnp.sin(angles)         # [K]
+    px, py = pat[:, 0], pat[:, 1]
+    rx = jnp.round(ca[:, None] * px[None, :] - sa[:, None] * py[None, :]).astype(jnp.int32)
+    ry = jnp.round(sa[:, None] * px[None, :] + ca[:, None] * py[None, :]).astype(jnp.int32)
+    flat = (ya[:, None] + ry) * W_A + (xa[:, None] + rx)          # [K,P]
+    vals = jnp.take(blur_flat, flat, mode="clip")                  # [K,P]
+    b1 = jnp.take(vals, jnp.asarray(_PAIR_I), axis=1)              # [K,256] static
+    b2 = jnp.take(vals, jnp.asarray(_PAIR_J), axis=1)
+    bits = (b1 < b2).astype(jnp.uint8)
     weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], dtype=jnp.uint8)
     return jnp.sum(bits.reshape(-1, 32, 8) * weights[None, None, :], axis=-1,
                    dtype=jnp.uint8)
@@ -332,70 +413,59 @@ def detect_and_describe(
     threshold: float = 20.0,
     n_levels: int = 4,
     scale: float = 1.2,
-    n_candidates: int = 8000,
+    n_candidates: int = 8000,   # kept for API parity; the atlas path needs no candidate cap
     max_keypoints: int = 1024,
     grid_size: int = 16,
     max_per_cell: int = 8,
     harris_k: float = 0.04,
 ) -> FrameFeatures:
-    """Full frontend: pyramid -> FAST/Harris -> grid top-K -> orientation ->
-    steered BRIEF. ``img`` is [H,W] float32 (grayscale, 0..255).
+    """Full frontend on the pyramid atlas: FAST/Harris -> per-cell top-k ->
+    global top-K -> orientation -> steered BRIEF. ``img`` is [H,W] float32
+    (grayscale, 0..255).
 
     Mirrors the reference's calcKeyPoints + calcDescriptors
-    (feature_match.cpp:11-48) with its parameters
-    (number_of_keypoints_to_extract=8000 candidates, <=1500 kept,
-    16px grid, <=8 per cell).
+    (feature_match.cpp:11-48) with its parameters (<=1500 kept, 16px grid,
+    <=8 per cell).
     """
+    del n_candidates
     H, W = img.shape
-    pyr = build_pyramid(img, n_levels, scale)
+    atlas = build_atlas(img, n_levels, scale, grid_size)
+    H_A, W_A = atlas.shape
+    inside_np, col_level_np, lvl_ox, lvl_oy, lvl_scale = _atlas_constants(
+        H, W, n_levels, scale, grid_size)
 
-    # candidate budget per level ~ proportional to area (like cv::ORB)
-    areas = [float(p.shape[0] * p.shape[1]) for p in pyr]
-    total_area = sum(areas)
-    n_per_level = [max(128, int(n_candidates * a / total_area)) for a in areas]
+    fast = fast_corner_mask(atlas, threshold)
+    harris = harris_response(atlas, k=harris_k)
+    score = jnp.where(fast & _nms3(harris) & jnp.asarray(inside_np),
+                      harris, -jnp.inf)
 
-    xs, ss, ls = [], [], []
-    for l, img_l in enumerate(pyr):
-        xy, sc = _level_candidates(img_l, n_per_level[l], threshold, harris_k)
-        factor = scale**l
-        xs.append(xy.astype(jnp.float32) * factor)
-        ss.append(sc)
-        ls.append(jnp.full(xy.shape[0], l, dtype=jnp.int32))
-    cand_xy = jnp.concatenate(xs)        # [C,2] level-0 coords
-    cand_score = jnp.concatenate(ss)     # [C]
-    cand_level = jnp.concatenate(ls)     # [C]
-    cand_valid = jnp.isfinite(cand_score)
+    cand_s, cand_y, cand_x = cell_topk(score, grid_size, max_per_cell)
+    top_s, top = jax.lax.top_k(cand_s, max_keypoints)
+    valid = jnp.isfinite(top_s)
+    xa = cand_x[top]
+    ya = cand_y[top]
+    levels = jnp.take(jnp.asarray(col_level_np), xa)
+    s_l = jnp.take(jnp.asarray(lvl_scale), levels)
+    kx = (xa.astype(jnp.float32) - jnp.take(jnp.asarray(lvl_ox), levels)) * s_l
+    ky = (ya.astype(jnp.float32) - jnp.take(jnp.asarray(lvl_oy), levels)) * s_l
+    kpts = jnp.where(valid[:, None], jnp.stack([kx, ky], axis=-1), 0.0)
+    scores = jnp.where(valid, top_s, 0.0)
 
-    sel = grid_select(
-        cand_xy.astype(jnp.int32), cand_score, cand_level, cand_valid,
-        grid_size=grid_size, max_per_cell=max_per_cell,
-        max_total=max_keypoints, width=W,
-    )
-    kpts = cand_xy[sel]
-    scores = cand_score[sel]
-    levels = cand_level[sel]
-    valid = jnp.isfinite(scores)
-    scores = jnp.where(valid, scores, 0.0)
+    # clamp invalid slots into range so gathers stay in-bounds
+    xa = jnp.clip(xa, _MARGIN, W_A - _MARGIN - 1)
+    ya = jnp.clip(ya, _MARGIN, H_A - _MARGIN - 1)
 
-    # orientation + descriptors, per level with masked merge
-    angles = jnp.zeros(max_keypoints, dtype=jnp.float32)
-    desc = jnp.zeros((max_keypoints, 32), dtype=jnp.uint8)
-    for l, img_l in enumerate(pyr):
-        Hl, Wl = img_l.shape
-        on_level = valid & (levels == l)
-        k_l = kpts / (scale**l)
-        k_l = jnp.stack(
-            [jnp.clip(k_l[:, 0], _BORDER, Wl - 1 - _BORDER),
-             jnp.clip(k_l[:, 1], _BORDER, Hl - 1 - _BORDER)],
-            axis=-1,
-        )
-        m10, m01 = _centroid_moment_maps(img_l)
-        yi = jnp.round(k_l[:, 1]).astype(jnp.int32)
-        xi = jnp.round(k_l[:, 0]).astype(jnp.int32)
-        ang_l = jnp.arctan2(m01[yi, xi], m10[yi, xi])
-        angles = jnp.where(on_level, ang_l, angles)
-        d_l = _descriptors_at_level(img_l, k_l, ang_l)
-        desc = jnp.where(on_level[:, None], d_l, desc)
+    # orientation: centroid moments at the keypoint's own level (it lives in
+    # the atlas at that level's scale)
+    m10, m01 = _moment_maps(atlas)
+    pos = ya * W_A + xa
+    angles = jnp.arctan2(jnp.take(m01.reshape(-1), pos),
+                         jnp.take(m10.reshape(-1), pos))
+    angles = jnp.where(valid, angles, 0.0)
+
+    blur = box_filter(atlas, 2) * (1.0 / 25.0)
+    desc = _descriptors_from_pool(blur.reshape(-1), W_A, xa, ya, angles)
+    desc = jnp.where(valid[:, None], desc, jnp.uint8(0))
 
     return FrameFeatures(kpts=kpts, scores=scores, angles=angles,
                          levels=levels, desc=desc, valid=valid)
@@ -407,7 +477,6 @@ def features_from_config(img: jnp.ndarray, cfg: OrbConfig) -> FrameFeatures:
         threshold=cfg.score_threshold,
         n_levels=cfg.n_levels,
         scale=cfg.scale_factor,
-        n_candidates=cfg.num_keypoints,
         max_keypoints=cfg.max_keypoints,
         grid_size=cfg.grid_size,
         max_per_cell=cfg.max_pts_per_grid,

@@ -1,5 +1,6 @@
 """Tests for the FAST/Harris + oriented-BRIEF frontend."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -38,21 +39,43 @@ def test_harris_peaks_at_corners():
     assert h[40, 40] > h[40, 30]  # corner beats edge
 
 
-def test_grid_select_respects_capacity():
+def test_cell_topk_respects_capacity():
+    """cell_topk keeps at most k entries per cell and they are the best k."""
     rng = np.random.default_rng(0)
-    C = 500
-    xy = rng.integers(0, 160, size=(C, 2)).astype(np.int32)
-    scores = rng.uniform(0, 1, C).astype(np.float32)
-    sel = np.asarray(
-        F.grid_select(
-            jnp.asarray(xy), jnp.asarray(scores), jnp.zeros(C, jnp.int32),
-            jnp.ones(C, bool), grid_size=16, max_per_cell=2, max_total=64, width=160,
-        )
-    )
-    cells = (xy[sel][:, 1] // 16) * 10 + (xy[sel][:, 0] // 16)
+    score = rng.uniform(0, 1, (32, 64)).astype(np.float32)
+    v, ys, xs = jax.tree.map(np.asarray, F.cell_topk(jnp.asarray(score), 16, 2))
+    assert v.shape == (2 * 4 * 2,)
+    cells = (ys // 16) * 4 + (xs // 16)
     _, counts = np.unique(cells, return_counts=True)
     assert counts.max() <= 2
-    assert len(sel) == 64
+    # returned values are each cell's true top-2
+    for cy in range(2):
+        for cx in range(4):
+            block = score[cy * 16:(cy + 1) * 16, cx * 16:(cx + 1) * 16]
+            got = sorted(v[cells == cy * 4 + cx], reverse=True)
+            want = sorted(block.reshape(-1), reverse=True)[:2]
+            np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_detect_per_cell_cap_on_frame():
+    """No (level, 16px-cell) pair exceeds max_pts_per_grid on a real frame."""
+    planes = syn.default_scene(0)
+    K = np.array([[615.0, 0, 320], [0, 615, 240], [0, 0, 1]])
+    img = syn.render_frame(np.eye(4), planes, K).astype(np.float32)
+    feats = F.detect_and_describe(jnp.asarray(img), max_keypoints=512,
+                                  max_per_cell=4)
+    valid = np.asarray(feats.valid)
+    kp = np.asarray(feats.kpts)[valid]
+    lv = np.asarray(feats.levels)[valid]
+    # reconstruct atlas cells from level-0 coords (inverse of the mapping in
+    # detect_and_describe)
+    shapes, offsets, H_A, W_A = F.atlas_geometry(480, 640, 4, 1.2, 16)
+    sc = np.asarray([1.2 ** l for l in range(4)])
+    xa = np.round(kp[:, 0] / sc[lv] + np.asarray([o[0] for o in offsets])[lv])
+    ya = np.round(kp[:, 1] / sc[lv] + np.asarray([o[1] for o in offsets])[lv])
+    cells = (ya // 16) * (W_A // 16) + (xa // 16)
+    _, counts = np.unique(cells, return_counts=True)
+    assert counts.max() <= 4
 
 
 def test_detect_on_synthetic_frame():
