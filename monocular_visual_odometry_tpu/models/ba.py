@@ -194,9 +194,11 @@ def ba_solve(cfg: VOConfig, cam: Camera, prob: BAProblem):
             A = jnp.zeros((M, 3, 3), r.dtype).at[flat_pid].add(Hpp_obs)
             b_p = jnp.zeros((M, 3), r.dtype).at[flat_pid].add(gp_obs)
             # Damping with a relative Tikhonov floor: a landmark seen from
-            # ~2 nearby cameras has a near-null depth direction; bounding
-            # each block's condition number (<=1e4) keeps its inverse from
-            # amplifying f32 summation-order noise into arbitrary updates.
+            # ~2 nearby cameras has a near-null depth direction; flooring
+            # the minimum eigenvalue at 1e-4*dmax bounds each block's
+            # condition number to O(1e4) (max eigenvalue <= trace ~ 3*dmax),
+            # which keeps its inverse from amplifying f32 summation-order
+            # noise into arbitrary updates.
             dmax = jnp.maximum(
                 A[:, jnp.arange(3), jnp.arange(3)].max(-1), 1e-12)
             A = A + (lam + 1e-4 * dmax)[:, None, None] * jnp.eye(
@@ -237,7 +239,9 @@ def ba_solve(cfg: VOConfig, cam: Camera, prob: BAProblem):
         T_c_w = jnp.where(accept, T_new, T_c_w)
         pts = jnp.where(accept, pts_new, pts)
         lam = jnp.where(accept, lam * 0.5, lam * 4.0)
-        return (T_c_w, pts, lam), cost_new / n_obs
+        # report the ACCEPTED state's cost (rejected proposals keep the old
+        # cost) so the costs trace is monotone and usable in assertions
+        return (T_c_w, pts, lam), jnp.where(accept, cost_new, cost_old) / n_obs
 
     (T_c_w, pts, _), costs = jax.lax.scan(
         lm_step,

@@ -469,8 +469,10 @@ class VOEngine:
         return self._add_frame_staged(img)
 
     def _add_frame_staged(self, img: jnp.ndarray) -> S.StepOutput:
-        """Multi-dispatch path (one jit call per stage) — useful for
-        debugging and for profiling individual stages."""
+        """Multi-dispatch path (one jit call per stage) — DEBUG/PROFILING
+        ONLY. It syncs the stage scalar and two bools to host every frame,
+        so per-frame latency is dominated by dispatch round-trips; real
+        runs must use the default fused path (``fused=True``)."""
         stage = int(self.state.stage)
         if stage == S.STAGE_BLANK:
             self.state, out = step_first(self.cfg, self.cam, self.state, img)

@@ -93,8 +93,9 @@ def _dist_lm(cfg: VOConfig, cam: Camera, T_c_w0, obs_uv, obs_pid, obs_valid,
         gp_obs = jnp.einsum("wkai,wka->wki", J_p, Wr2).reshape(-1, 3)
         A = jnp.zeros((M_loc, 3, 3), r.dtype).at[safe_pid].add(Hpp_obs, mode="drop")
         b_p = jnp.zeros((M_loc, 3), r.dtype).at[safe_pid].add(gp_obs, mode="drop")
-        # relative Tikhonov floor — must match models.ba exactly so both
-        # solvers produce identical updates (see test_dist_ba)
+        # relative Tikhonov floor — same formula as models.ba; agreement is
+        # up to f32 summation-order noise, bounded by the conditioning
+        # floor (see test_dist_ba)
         dmax = jnp.maximum(
             A[:, jnp.arange(3), jnp.arange(3)].max(-1), 1e-12)
         A = A + (lam + 1e-4 * dmax)[:, None, None] * jnp.eye(
@@ -136,7 +137,7 @@ def _dist_lm(cfg: VOConfig, cam: Camera, T_c_w0, obs_uv, obs_pid, obs_valid,
         T_c_w = jnp.where(accept, T_new, T_c_w)
         p_shard = jnp.where(accept, p_new, p_shard)
         lam = jnp.where(accept, lam * 0.5, lam * 4.0)
-        return (T_c_w, p_shard, lam), cost_new / n_obs
+        return (T_c_w, p_shard, lam), jnp.where(accept, cost_new, cost_old) / n_obs
 
     (T_c_w, p_shard, _), costs = jax.lax.scan(
         lm_step,

@@ -29,14 +29,31 @@ def save_state(path: str, state: Any) -> None:
 
 def load_state(path: str, like: Any) -> Any:
     """Restore a state saved by :func:`save_state`. ``like`` provides the
-    pytree structure (e.g. a freshly initialized VOState)."""
+    pytree structure (e.g. a freshly initialized VOState).
+
+    Validates the saved treedef string and every leaf's shape against the
+    template, so capacity/config mismatches fail with a clear message
+    instead of a downstream asarray/broadcast error."""
     data = np.load(path)
     leaves, treedef = jax.tree_util.tree_flatten(like)
     n = int(data["n_leaves"])
     if n != len(leaves):
         raise ValueError(f"checkpoint has {n} leaves, template has {len(leaves)}")
-    new_leaves = [
-        jax.numpy.asarray(data[f"leaf_{i}"], dtype=leaves[i].dtype)
-        for i in range(n)
-    ]
+    saved_treedef = bytes(data["treedef"]).decode()
+    if saved_treedef != str(treedef):
+        raise ValueError(
+            "checkpoint pytree structure does not match the template state "
+            "(was it saved with a different framework version?):\n"
+            f"  saved:    {saved_treedef[:200]}...\n"
+            f"  template: {str(treedef)[:200]}...")
+    new_leaves = []
+    for i in range(n):
+        arr = data[f"leaf_{i}"]
+        if tuple(arr.shape) != tuple(np.shape(leaves[i])):
+            raise ValueError(
+                f"checkpoint leaf {i} has shape {tuple(arr.shape)} but the "
+                f"template expects {tuple(np.shape(leaves[i]))} — capacity "
+                "config (max_keypoints/max_map_points/...) must match the "
+                "one used at save time")
+        new_leaves.append(jax.numpy.asarray(arr, dtype=leaves[i].dtype))
     return jax.tree_util.tree_unflatten(treedef, new_leaves)

@@ -48,11 +48,13 @@ class MatchConfig:
     method_index: int = 3                # 1=xiang-gao threshold BF, 2=Lowe ratio, 3=radius BF
     xiang_gao_match_ratio: float = 2.0   # dist_th = max(min_dist * ratio, 30)
     lowe_dist_ratio: float = 0.8
-    method3_dist_threshold: float = 50.0
     max_pixel_dist_init: float = 100.0   # max_matching_pixel_dist_in_initialization
     max_pixel_dist_triang: float = 100.0
     max_pixel_dist_pnp: float = 50.0
-    max_matches: int = 1024              # static match-slot capacity
+    # NOTE: the reference's method_3_feature_dist_threshold is dead code
+    # there too (the block applying it is commented out,
+    # feature_match.cpp:164-179; methods 1 and 3 both use the xiang-gao
+    # threshold) — so it is intentionally NOT a field here.
 
 
 @dataclass(frozen=True)
@@ -60,9 +62,11 @@ class RansacConfig:
     """Essential/homography RANSAC (config.yaml:99-102) — batched-hypothesis
     formulation (fixed hypothesis count instead of adaptive early exit)."""
 
-    prob: float = 0.999                  # findEssentialMat_prob (kept for parity/reporting)
     threshold_px: float = 1.0            # findEssentialMat_threshold (pixels)
     n_hypotheses: int = 512              # hypothesis batch per model
+    # findEssentialMat_prob has no analogue: adaptive RANSAC termination is
+    # replaced by the fixed hypothesis batch above (SURVEY.md §8.3); the
+    # reference key is accepted and ignored by load_config.
     pnp_n_hypotheses: int = 256
     pnp_reproj_threshold_px: float = 2.0 # cv::solvePnPRansac threshold (vo.cpp:318)
     pnp_min_inliers: int = 5
@@ -210,13 +214,12 @@ def load_config(path: str | Path) -> VOConfig:
             method_index=int(g("feature_match_method_index", 3)),
             xiang_gao_match_ratio=float(g("xiang_gao_method_match_ratio", 2.0)),
             lowe_dist_ratio=float(g("lowe_method_dist_ratio", 0.8)),
-            method3_dist_threshold=float(g("method_3_feature_dist_threshold", 50.0)),
             max_pixel_dist_init=float(g("max_matching_pixel_dist_in_initialization", 100.0)),
             max_pixel_dist_triang=float(g("max_matching_pixel_dist_in_triangulation", 100.0)),
             max_pixel_dist_pnp=float(g("max_matching_pixel_dist_in_pnp", 50.0)),
         ),
         ransac=RansacConfig(
-            prob=float(g("findEssentialMat_prob", 0.999)),
+            # findEssentialMat_prob is accepted but ignored (fixed-batch RANSAC)
             threshold_px=float(g("findEssentialMat_threshold", 1.0)),
         ),
         triang=TriangulationConfig(
