@@ -120,6 +120,7 @@ def _step_init_impl(cfg: VOConfig, cam: Camera, st: S.VOState, img: jnp.ndarray)
         uv1, uv2, m.valid, cam, k_est,
         threshold_px=cfg.ransac.threshold_px,
         n_hypotheses=cfg.ransac.n_hypotheses,
+        use_reference_selection=cfg.init.use_reference_selection,
     )
     T_2_1 = lie.rt_to_T(tv.R, tv.t)
     angles = twoview.triangulation_angles(tv.pts3d_c1, T_2_1)

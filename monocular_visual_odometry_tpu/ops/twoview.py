@@ -36,7 +36,12 @@ class TwoViewResult(NamedTuple):
     t: jnp.ndarray          # [3] unit translation
     inliers: jnp.ndarray    # [N] bool (winning model, score-refined)
     pts3d_c1: jnp.ndarray   # [N,3] triangulated points in camera-1 frame
-    used_homography: jnp.ndarray  # scalar bool
+    used_homography: jnp.ndarray  # scalar bool — semantics depend on the
+    # selection rule: reference rule -> "the ORB-SLAM score ratio picked
+    # H"; tournament rule -> "an H-seeded candidate won the robust-cost
+    # tournament". For reference comparisons use ratio_prefers_h, which
+    # always carries the ORB-SLAM ratio verdict regardless of rule.
+    ratio_prefers_h: jnp.ndarray  # scalar bool — prefer_homography(score_e, score_h)
     score_e: jnp.ndarray
     score_h: jnp.ndarray
     E: jnp.ndarray          # [3,3]
@@ -53,9 +58,23 @@ def estimate_relative_pose(
     cam: Camera, key: jax.Array,
     *, threshold_px: float = 1.0, h_threshold_px: float = 3.0,
     n_hypotheses: int = 512, sigma: float = 1.0,
+    use_reference_selection: bool = False,
 ) -> TwoViewResult:
     """Full E/H dual estimation + model selection on matched pixel
-    correspondences (fixed capacity N, ``valid`` mask)."""
+    correspondences (fixed capacity N, ``valid`` mask).
+
+    Two selection rules (``use_reference_selection`` is jit-static):
+
+    - ``False`` (default): multi-start robust-Sampson tournament — every
+      candidate pose (1 from E, 4 from H) is GN-refined and the lowest
+      robust cost wins. Strictly stronger than transfer-score selection on
+      quasi-planar scenes (see inline comment below).
+    - ``True``: the reference's ORB-SLAM rule verbatim
+      (motion_estimation.cpp:134-156) — pick H when
+      score_H/(score_E+score_H) > 0.5, and among the H decompositions the
+      cheirality-plausible one with the largest |normal_z|; no refinement,
+      exactly the reference's candidate set.
+    """
     x1 = pixel2cam_norm_plane(uv1, cam)
     x2 = pixel2cam_norm_plane(uv2, cam)
     K = cam.K
@@ -75,38 +94,64 @@ def estimate_relative_pose(
     )
     Rs_h, ts_h, ns_h, valid4 = epi.decompose_homography(h_model.model, K)
 
-    # --- multi-start refinement: all 5 candidate poses (1 E + 4 H) are
-    # GN-refined on the essential manifold under robust Sampson error over
-    # ALL matches, and the winner is the lowest robust cost. This replaces
-    # the reference's pick-by-transfer-score (motion_estimation.cpp:134-156)
-    # with a strictly stronger criterion: quasi-planar scenes — where the
-    # E family is degenerate and scores are uninformative — are decided by
-    # which basin actually fits the off-plane evidence.
-    cand_R = jnp.concatenate([R_e[None], Rs_h], axis=0)   # [5,3,3]
-    cand_t = jnp.concatenate([t_e[None], ts_h], axis=0)   # [5,3]
-    huber = 2.0 * th_n
+    # --- ORB-SLAM transfer scores (checkEssentialScore /
+    # checkHomographyScore, :501-664): selection criterion in reference
+    # mode, diagnostics in tournament mode
+    Kinv = jnp.linalg.inv(K)
+    F = Kinv.T @ e_model.model @ Kinv
+    se = scoring.essential_score(F, uv1, uv2, e_model.inliers, sigma)
+    sh = scoring.homography_score(h_model.model, uv1, uv2, h_model.inliers, sigma)
+    ratio_h = scoring.prefer_homography(se.score, sh.score)
 
-    refine = jax.vmap(
-        lambda R0, t0: epi.refine_pose_sampson(
-            R0, t0, x1, x2, valid, iterations=12, huber_delta=huber)
-    )
-    Rs_ref, ts_ref = refine(cand_R, cand_t)
+    if use_reference_selection:
+        # --- reference rule (motion_estimation.cpp:134-156): ratio > 0.5
+        # picks H; among H solutions keep cheirality-plausible ones
+        # (removeWrongRtOfHomography, epipolar_geometry.cpp:59-88) and take
+        # the largest |n_z| (:142-154). No refinement — raw candidates, as
+        # in the reference.
+        vis = epi.homography_visible_filter(ns_h, x1, h_model.inliers)
+        h_ok = valid4 & vis
+        h_ok = jnp.where(jnp.any(h_ok), h_ok, valid4)   # all pruned -> fall back
+        h_idx = jnp.argmax(jnp.where(h_ok, jnp.abs(ns_h[:, 2]), -1.0))
+        use_h = ratio_h & jnp.any(valid4)
+        R = jnp.where(use_h, Rs_h[h_idx], R_e)
+        t = jnp.where(use_h, ts_h[h_idx], t_e)
+        best_h_idx = h_idx
+    else:
+        # --- multi-start refinement: all 5 candidate poses (1 E + 4 H) are
+        # GN-refined on the essential manifold under robust Sampson error
+        # over ALL matches, and the winner is the lowest robust cost. This
+        # replaces the reference's pick-by-transfer-score with a strictly
+        # stronger criterion: quasi-planar scenes — where the E family is
+        # degenerate and scores are uninformative — are decided by which
+        # basin actually fits the off-plane evidence.
+        cand_R = jnp.concatenate([R_e[None], Rs_h], axis=0)   # [5,3,3]
+        cand_t = jnp.concatenate([t_e[None], ts_h], axis=0)   # [5,3]
+        huber = 2.0 * th_n
 
-    def robust_cost(R, t):
-        r = epi._sampson_residuals(R, t, x1, x2)
-        a = jnp.abs(r)
-        w = jnp.where(a <= huber, 1.0, huber / (a + 1e-12))
-        return jnp.sum(valid * w * r * r)
+        refine = jax.vmap(
+            lambda R0, t0: epi.refine_pose_sampson(
+                R0, t0, x1, x2, valid, iterations=12, huber_delta=huber)
+        )
+        Rs_ref, ts_ref = refine(cand_R, cand_t)
 
-    costs = jax.vmap(robust_cost)(Rs_ref, ts_ref)
-    cand_ok = jnp.concatenate([jnp.asarray([True]), valid4])
-    costs = jnp.where(cand_ok, costs, jnp.inf)
-    best = jnp.argmin(costs)
-    R = Rs_ref[best]
-    t = ts_ref[best]
-    use_h = best > 0
+        def robust_cost(R, t):
+            r = epi._sampson_residuals(R, t, x1, x2)
+            a = jnp.abs(r)
+            w = jnp.where(a <= huber, 1.0, huber / (a + 1e-12))
+            return jnp.sum(valid * w * r * r)
 
-    # --- cheirality: Sampson is sign-blind in t; resolve by depth vote
+        costs = jax.vmap(robust_cost)(Rs_ref, ts_ref)
+        cand_ok = jnp.concatenate([jnp.asarray([True]), valid4])
+        costs = jnp.where(cand_ok, costs, jnp.inf)
+        best = jnp.argmin(costs)
+        R = Rs_ref[best]
+        t = ts_ref[best]
+        use_h = best > 0
+        best_h_idx = jnp.maximum(best - 1, 0)
+
+    # --- cheirality: both rules resolve the t sign (and H's candidate
+    # ambiguity residue) by positive-depth vote
     T_pos = lie.rt_to_T(R, t)
     pts_pos = epi.triangulate(x1, x2, T_pos)
     z1p, z2p = epi.depths_in_two_views(pts_pos, T_pos)
@@ -122,19 +167,13 @@ def estimate_relative_pose(
     r_fin = epi._sampson_residuals(R, t, x1, x2)
     inl = valid & (jnp.abs(r_fin) < th_n) & (z1 > 0) & (z2 > 0)
 
-    # --- ORB-SLAM scores kept as diagnostics / parity metrics
-    # (checkEssentialScore / checkHomographyScore, :501-664)
-    Kinv = jnp.linalg.inv(K)
-    F = Kinv.T @ e_model.model @ Kinv
-    se = scoring.essential_score(F, uv1, uv2, e_model.inliers, sigma)
-    sh = scoring.homography_score(h_model.model, uv1, uv2, h_model.inliers, sigma)
-
-    h_idx = jnp.maximum(best - 1, 0)
     return TwoViewResult(
         R=R, t=t, inliers=inl, pts3d_c1=pts3d,
-        used_homography=use_h, score_e=se.score, score_h=sh.score,
+        used_homography=use_h, ratio_prefers_h=ratio_h,
+        score_e=se.score, score_h=sh.score,
         E=e_model.model, H=h_model.model,
-        plane_normal=jnp.where(use_h, ns_h[h_idx], jnp.zeros(3, dtype=uv1.dtype)),
+        plane_normal=jnp.where(use_h, ns_h[best_h_idx],
+                               jnp.zeros(3, dtype=uv1.dtype)),
     )
 
 

@@ -93,6 +93,14 @@ class InitConfig:
     min_pixel_dist: float = 50.0
     min_median_triang_angle_deg: float = 2.0
     assumed_mean_depth: float = 0.8      # assumed_mean_pts_depth_during_vo_init
+    use_reference_selection: bool = False  # True = the reference's ORB-SLAM
+                                           # E/H rule (score ratio + max
+                                           # |n_z|, motion_estimation.cpp:
+                                           # 134-156); False = robust-
+                                           # Sampson tournament (see
+                                           # ops.twoview, A/B'd in
+                                           # tests/test_epipolar.py and
+                                           # docs/PARITY.md)
 
 
 @dataclass(frozen=True)

@@ -171,13 +171,14 @@ class TestHomography:
 
 
 class TestModelSelection:
-    def _run(self, planar, seed):
+    def _run(self, planar, seed, reference_rule=False):
         sc = syn.synthesize_two_view(n=256, seed=seed, planar=planar, noise_px=0.3)
         cam = Camera.create(sc.K[0, 0], sc.K[1, 1], sc.K[0, 2], sc.K[1, 2])
         res = twoview.estimate_relative_pose(
             jnp.asarray(sc.uv1, dtype=jnp.float32),
             jnp.asarray(sc.uv2, dtype=jnp.float32),
             jnp.ones(256, bool), cam, jax.random.PRNGKey(seed),
+            use_reference_selection=reference_rule,
         )
         return sc, res
 
@@ -209,6 +210,37 @@ class TestModelSelection:
         err = np.abs(pts * s - gt)
         assert np.median(err) < 0.05
         assert np.percentile(err, 95) < 0.3
+
+    def test_reference_rule_general_scene(self):
+        """The reference's ORB-SLAM selection (score ratio + max |n_z|,
+        motion_estimation.cpp:134-156) on a general scene: picks E and
+        recovers the pose. A/B counterpart of the tournament test above."""
+        sc, res = self._run(planar=False, seed=8, reference_rule=True)
+        T_21 = np.linalg.inv(sc.T_c1_c2)
+        rot_err, t_err = _pose_errors(np.asarray(res.R), np.asarray(res.t), T_21)
+        assert not bool(res.used_homography)
+        assert not bool(res.ratio_prefers_h)
+        assert rot_err < 1.0, rot_err
+        assert t_err < 5.0, t_err
+
+    def test_reference_rule_planar_scene(self):
+        """Reference rule on a planar scene: the score ratio picks H, the
+        max-|n_z| solution recovers the pose (no GN refinement, so the
+        tolerance is looser than the tournament path's)."""
+        sc, res = self._run(planar=True, seed=9, reference_rule=True)
+        T_21 = np.linalg.inv(sc.T_c1_c2)
+        rot_err, t_err = _pose_errors(np.asarray(res.R), np.asarray(res.t), T_21)
+        assert bool(res.used_homography)
+        assert bool(res.ratio_prefers_h)
+        assert rot_err < 2.0, rot_err
+        assert t_err < 10.0, t_err
+
+    def test_ratio_diagnostic_matches_scene_type(self):
+        """ratio_prefers_h carries the ORB-SLAM verdict in BOTH modes."""
+        _, res_gen = self._run(planar=False, seed=13)
+        _, res_pl = self._run(planar=True, seed=13)
+        assert not bool(res_gen.ratio_prefers_h)
+        assert bool(res_pl.ratio_prefers_h)
 
     def test_angles(self):
         sc, res = self._run(planar=False, seed=11)
