@@ -121,6 +121,7 @@ def _step_init_impl(cfg: VOConfig, cam: Camera, st: S.VOState, img: jnp.ndarray)
         threshold_px=cfg.ransac.threshold_px,
         n_hypotheses=cfg.ransac.n_hypotheses,
         use_reference_selection=cfg.init.use_reference_selection,
+        essential_minimal=cfg.ransac.essential_minimal,
     )
     T_2_1 = lie.rt_to_T(tv.R, tv.t)
     angles = twoview.triangulation_angles(tv.pts3d_c1, T_2_1)

@@ -58,7 +58,7 @@ def estimate_relative_pose(
     cam: Camera, key: jax.Array,
     *, threshold_px: float = 1.0, h_threshold_px: float = 3.0,
     n_hypotheses: int = 512, sigma: float = 1.0,
-    use_reference_selection: bool = False,
+    use_reference_selection: bool = False, essential_minimal: str = "8pt",
 ) -> TwoViewResult:
     """Full E/H dual estimation + model selection on matched pixel
     correspondences (fixed capacity N, ``valid`` mask).
@@ -84,7 +84,8 @@ def estimate_relative_pose(
 
     # --- essential path (estiMotionByEssential, epipolar_geometry.cpp:17-57)
     e_model = epi.estimate_essential(
-        x1, x2, valid, k_e, threshold=th_n, n_hypotheses=n_hypotheses
+        x1, x2, valid, k_e, threshold=th_n, n_hypotheses=n_hypotheses,
+        minimal=essential_minimal,
     )
     R_e, t_e, _ = epi.recover_pose_from_E(e_model.model, x1, x2, e_model.inliers)
 

@@ -64,6 +64,14 @@ class RansacConfig:
 
     threshold_px: float = 1.0            # findEssentialMat_threshold (pixels)
     n_hypotheses: int = 512              # hypothesis batch per model
+    essential_minimal: str = "8pt"       # "5pt" = Nistér-class five-point
+                                         # minimal samples (the
+                                         # cv::findEssentialMat parity path,
+                                         # ops/fivepoint.py; wins at >=50%
+                                         # outliers), "8pt" = eight-point
+                                         # minimal samples (cheaper; fine at
+                                         # the low outlier rates left after
+                                         # radius-gated matching)
     # findEssentialMat_prob has no analogue: adaptive RANSAC termination is
     # replaced by the fixed hypothesis batch above (SURVEY.md §8.3); the
     # reference key is accepted and ignored by load_config.
