@@ -251,12 +251,14 @@ def ba_solve(cfg: VOConfig, cam: Camera, prob: BAProblem):
     return T_c_w, pts, costs
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def ba_update_state(cfg: VOConfig, cam: Camera, st: S.VOState) -> S.VOState:
-    """Full BA step on the VO state: gather window, solve, write back poses
-    (ring + current + reference if fresh) and landmarks functionally."""
-    prob, slots = gather_window(cfg, st)
-    T_c_w, pts, _ = ba_solve(cfg, cam, prob)
+def write_back(cfg: VOConfig, st: S.VOState, prob: BAProblem,
+               slots: jnp.ndarray, T_c_w: jnp.ndarray,
+               pts: jnp.ndarray) -> S.VOState:
+    """Functional write-back of a solved window: poses into the ring (+
+    current + reference keyframe if it still lives in the ring) and
+    landmark positions into the map. Shared by the single-device and
+    distributed solvers — the TPU-native replacement for the reference's
+    raw-pointer mutation (g2o_ba.cpp:297-316)."""
     poses_w_c = jax.vmap(lie.inv_T)(T_c_w)                      # [W,4,4]
 
     ring_poses = st.ring.poses.at[slots].set(
@@ -280,3 +282,12 @@ def ba_update_state(cfg: VOConfig, cam: Camera, st: S.VOState) -> S.VOState:
         ref_pose=ref_pose,
         last_keyframe_pose=jnp.where(ref_fresh, ref_pose, st.last_keyframe_pose),
     )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def ba_update_state(cfg: VOConfig, cam: Camera, st: S.VOState) -> S.VOState:
+    """Full BA step on the VO state: gather window, solve, write back poses
+    (ring + current + reference if fresh) and landmarks functionally."""
+    prob, slots = gather_window(cfg, st)
+    T_c_w, pts, _ = ba_solve(cfg, cam, prob)
+    return write_back(cfg, st, prob, slots, T_c_w, pts)

@@ -364,14 +364,23 @@ def _keyframe_update_impl(cfg: VOConfig, cam: Camera, st: S.VOState,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "height", "width"))
+@functools.partial(jax.jit, static_argnames=("cfg", "height", "width", "mesh"))
 def step_fused(cfg: VOConfig, cam: Camera, st: S.VOState, img: jnp.ndarray,
-               *, height: int, width: int):
+               *, height: int, width: int, mesh=None):
     """The whole per-frame pipeline as a single jit-compiled call: stage
     dispatch (lax.switch), tracking, windowed BA and keyframe update
     (lax.cond). One dispatch + one bulk readback per frame — essential
     when device dispatch has RPC latency (remote TPU) and desirable
-    everywhere (no host round-trips between stages)."""
+    everywhere (no host round-trips between stages).
+
+    ``mesh`` (jit-static): when a ``jax.sharding.Mesh`` is given, the
+    windowed BA runs the DISTRIBUTED joint solver — landmark blocks
+    sharded over the mesh's ``points`` axis, reduced camera system psum'd
+    over ICI/DCN (parallel.dist_ba). The BA is then computed
+    unconditionally and applied with a masked select instead of lax.cond,
+    keeping the collective schedule identical on every device and step.
+    ``cfg.map.max_map_points`` must divide the mesh size.
+    """
 
     def first_branch(st):
         new, out = _step_first_impl(cfg, cam, st, img)
@@ -384,7 +393,14 @@ def step_fused(cfg: VOConfig, cam: Camera, st: S.VOState, img: jnp.ndarray,
     def track_branch(st):
         new, out, feats, curr_mp = _step_track_impl(
             cfg, cam, st, img, height=height, width=width)
-        if cfg.ba.enabled:
+        if cfg.ba.enabled and mesh is not None:
+            from monocular_visual_odometry_tpu.parallel.dist_ba import (
+                ba_update_state_dist,
+            )
+
+            new = _tree_select(out.tracking_ok,
+                               ba_update_state_dist(cfg, cam, mesh, new), new)
+        elif cfg.ba.enabled:
             from monocular_visual_odometry_tpu.models.ba import ba_update_state
 
             new = jax.lax.cond(
@@ -406,17 +422,19 @@ def step_fused(cfg: VOConfig, cam: Camera, st: S.VOState, img: jnp.ndarray,
     return jax.lax.switch(st.stage, [first_branch, init_branch, track_branch], st)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "height", "width"))
+@functools.partial(jax.jit, static_argnames=("cfg", "height", "width", "mesh"))
 def run_sequence(cfg: VOConfig, cam: Camera, st: S.VOState, frames: jnp.ndarray,
-                 *, height: int, width: int):
+                 *, height: int, width: int, mesh=None):
     """Process a whole [N, H, W] frame stack in ONE device dispatch via
     lax.scan over the fused step — the offline/batch mode. Per-frame
     dispatch latency (significant on remote-attached TPUs) disappears
     entirely; the host gets back the final state plus stacked per-frame
-    StepOutputs."""
+    StepOutputs. ``mesh`` selects the distributed-BA step (see
+    :func:`step_fused`)."""
 
     def body(s, img):
-        s, out = step_fused(cfg, cam, s, img, height=height, width=width)
+        s, out = step_fused(cfg, cam, s, img, height=height, width=width,
+                            mesh=mesh)
         return s, out
 
     return jax.lax.scan(body, st, frames)
@@ -446,7 +464,7 @@ class VOEngine:
     """
 
     def __init__(self, cfg: VOConfig, height: int, width: int, seed: int = 0,
-                 fused: bool = True):
+                 fused: bool = True, mesh=None):
         self.cfg = cfg
         self.height = height
         self.width = width
@@ -454,6 +472,9 @@ class VOEngine:
                                  cfg.dataset.cx, cfg.dataset.cy)
         self.state = S.init_state(cfg, seed)
         self.fused = fused
+        self.mesh = mesh  # jax.sharding.Mesh -> distributed windowed BA
+        if mesh is not None and not fused:
+            raise ValueError("mesh mode requires the fused step")
         if cfg.ba.enabled:
             from monocular_visual_odometry_tpu.models.ba import ba_update_state
             self.ba_fn = ba_update_state
@@ -466,7 +487,8 @@ class VOEngine:
         img = jnp.asarray(img, dtype=jnp.float32)
         if self.fused:
             self.state, out = step_fused(self.cfg, self.cam, self.state, img,
-                                         height=self.height, width=self.width)
+                                         height=self.height, width=self.width,
+                                         mesh=self.mesh)
             return jax.device_get(out)
         return self._add_frame_staged(img)
 

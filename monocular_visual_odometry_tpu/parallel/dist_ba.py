@@ -147,12 +147,9 @@ def _dist_lm(cfg: VOConfig, cam: Camera, T_c_w0, obs_uv, obs_pid, obs_valid,
     return T_c_w, p_shard, costs
 
 
-def make_dist_ba(cfg: VOConfig, cam: Camera, mesh: Mesh):
-    """Build a jitted distributed BA solver over ``mesh``.
-
-    Returns solve(prob: BAProblem) -> (T_c_w [W,4,4], pts [M,3], costs).
-    The landmark pool size must divide the mesh size.
-    """
+def _shard_mapped_solver(cfg: VOConfig, cam: Camera, mesh: Mesh):
+    """The shard_map-wrapped LM body (landmark blocks over POINTS_AXIS).
+    Safe to build inside an enclosing jit trace."""
     spec_rep = P()
     spec_pts = P(POINTS_AXIS)
 
@@ -161,7 +158,7 @@ def make_dist_ba(cfg: VOConfig, cam: Camera, mesh: Mesh):
     # (local point blocks) into replicated ones (poses) — the result is
     # still replicated because every shard sees identical psum'd systems,
     # but the static varying-axis checker can't prove that.
-    mapped = jax.shard_map(
+    return jax.shard_map(
         body, mesh=mesh,
         in_specs=(spec_rep, spec_rep, spec_rep, spec_rep, spec_rep,
                   spec_pts, spec_pts),
@@ -169,9 +166,40 @@ def make_dist_ba(cfg: VOConfig, cam: Camera, mesh: Mesh):
         check_vma=False,
     )
 
+
+def dist_ba_solve(cfg: VOConfig, cam: Camera, mesh: Mesh, prob: BA.BAProblem):
+    """Run the distributed LM on a BAProblem (callable from inside jit).
+    The landmark pool size must divide the mesh size."""
+    mapped = _shard_mapped_solver(cfg, cam, mesh)
+    return mapped(prob.T_c_w, prob.obs_uv, prob.obs_pid, prob.obs_valid,
+                  prob.frame_valid, prob.pts, prob.pt_used)
+
+
+def make_dist_ba(cfg: VOConfig, cam: Camera, mesh: Mesh):
+    """Build a jitted distributed BA solver over ``mesh``.
+
+    Returns solve(prob: BAProblem) -> (T_c_w [W,4,4], pts [M,3], costs).
+    The landmark pool size must divide the mesh size.
+    """
+
     @jax.jit
     def solve(prob: BA.BAProblem):
-        return mapped(prob.T_c_w, prob.obs_uv, prob.obs_pid, prob.obs_valid,
-                      prob.frame_valid, prob.pts, prob.pt_used)
+        return dist_ba_solve(cfg, cam, mesh, prob)
 
     return solve
+
+
+def ba_update_state_dist(cfg: VOConfig, cam: Camera, mesh: Mesh, st):
+    """Distributed counterpart of ``models.ba.ba_update_state``: gather the
+    window from VO state, solve with landmark blocks sharded over the mesh,
+    write back functionally. This is what the live pipeline calls in mesh
+    mode (models.vo.make_fused_step / VOEngine(mesh=...)).
+
+    NOTE: the distributed solver is the JOINT solver — it exists to shard
+    the per-point Schur elimination, which fixed-landmark mode doesn't
+    have. Mesh mode therefore always optimizes points (the
+    ``fix_map_points`` flag only governs the single-device path).
+    """
+    prob, slots = BA.gather_window(cfg, st)
+    T_c_w, pts, _ = dist_ba_solve(cfg, cam, mesh, prob)
+    return BA.write_back(cfg, st, prob, slots, T_c_w, pts)

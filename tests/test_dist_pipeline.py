@@ -1,0 +1,87 @@
+"""Mesh-mode pipeline: the LIVE tracking loop with the distributed
+windowed BA (landmark blocks sharded over the 8-device CPU mesh,
+parallel.dist_ba called from inside the fused per-frame step).
+
+This is the integration the reference performs in-process every frame
+(vo_addFrame.cpp:91 -> g2o_ba.cpp:172-317), here running sharded.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from monocular_visual_odometry_tpu.data import synthetic as syn
+from monocular_visual_odometry_tpu.models import state as S
+from monocular_visual_odometry_tpu.models.vo import VOEngine
+from monocular_visual_odometry_tpu.parallel import mesh as M
+from monocular_visual_odometry_tpu.utils import metrics
+from monocular_visual_odometry_tpu.utils.config import VOConfig
+
+
+def _cfg():
+    cfg = VOConfig()
+    return cfg.replace(
+        orb=dataclasses.replace(cfg.orb, max_keypoints=512, num_keypoints=4000),
+        ransac=dataclasses.replace(cfg.ransac, n_hypotheses=256,
+                                   pnp_n_hypotheses=128),
+        # mesh mode runs the joint distributed solver; 2048 % 8 == 0
+        map=dataclasses.replace(cfg.map, max_map_points=2048),
+        ba=dataclasses.replace(cfg.ba, iterations=10),
+    )
+
+
+@pytest.fixture(scope="module")
+def sequence():
+    planes = syn.default_scene(0)
+    K = np.array([[615.0, 0, 320], [0, 615, 240], [0, 0, 1]])
+    poses = syn.make_trajectory(18, seed=0, translation_step=0.05)
+    frames = [syn.render_frame(poses[i], planes, K).astype(np.float32)
+              for i in range(18)]
+    return frames, poses
+
+
+def test_pipeline_tracks_with_distributed_ba(sequence):
+    frames, gt = sequence
+    mesh = M.points_mesh()
+    assert mesh.size == 8
+    eng = VOEngine(_cfg(), 480, 640, mesh=mesh)
+    est = []
+    for f in frames:
+        out = eng.add_frame(f)
+        est.append(np.asarray(out.T_w_c))
+    est = np.stack(est)
+    assert int(eng.state.stage) == S.STAGE_TRACKING
+    assert np.isfinite(est).all()
+    ate = metrics.ate_rmse(est, gt, align="sim3")
+    # mesh mode = joint solver; per-frame joint optimization of a short
+    # window trades a little long-run ATE vs fixed-points mode (see
+    # models/ba.py docstring) — observed 0.102 vs 0.08 here
+    assert ate < 0.13, f"mesh-mode ATE {ate:.3f}"
+    # the map survived the joint solver: points finite, mostly in front
+    pts = np.asarray(eng.state.map.pts)[np.asarray(eng.state.map.valid)]
+    assert np.isfinite(pts).all()
+    assert (pts[:, 2] > 0).mean() > 0.9
+
+
+def test_mesh_mode_matches_single_device_joint(sequence):
+    """Same sequence through the single-device JOINT solver (the dist
+    solver's semantics): trajectories must agree to f32-accumulation
+    level."""
+    frames, gt = sequence
+    cfg = _cfg().replace(
+        ba=dataclasses.replace(_cfg().ba, fix_map_points=False, iterations=10))
+
+    def run(mesh):
+        eng = VOEngine(cfg, 480, 640, mesh=mesh)
+        return np.stack([np.asarray(eng.add_frame(f).T_w_c) for f in frames])
+
+    est_single = run(None)
+    est_mesh = run(M.points_mesh())
+    # both tracks are valid VO solutions; f32 noise through 18 frames of
+    # joint BA compounds, so gate the trajectory-level agreement
+    d = np.linalg.norm(est_single[:, :3, 3] - est_mesh[:, :3, 3], axis=1)
+    assert d.max() < 0.05, d.max()
+    ate_s = metrics.ate_rmse(est_single, gt, align="sim3")
+    ate_m = metrics.ate_rmse(est_mesh, gt, align="sim3")
+    assert abs(ate_s - ate_m) < 0.03, (ate_s, ate_m)
