@@ -195,13 +195,18 @@ def ba_solve(cfg: VOConfig, cam: Camera, prob: BAProblem):
             b_p = jnp.zeros((M, 3), r.dtype).at[flat_pid].add(gp_obs)
             # Damping with a relative Tikhonov floor: a landmark seen from
             # ~2 nearby cameras has a near-null depth direction; flooring
-            # the minimum eigenvalue at 1e-4*dmax bounds each block's
-            # condition number to O(1e4) (max eigenvalue <= trace ~ 3*dmax),
-            # which keeps its inverse from amplifying f32 summation-order
-            # noise into arbitrary updates.
+            # the minimum eigenvalue at 1e-2*dmax bounds each block's
+            # condition number to O(3e2) (max eigenvalue <= trace ~ 3*dmax),
+            # so f32 summation-order noise (~1e-7 relative on the Gram
+            # sums) passes through A^-1 attenuated to <=1e-4-level update
+            # disagreement between compilations — this is what lets
+            # test_dist_ba gate dist-vs-single agreement at 1e-2 instead
+            # of the 0.37 worst case observed at a 1e-4 floor. The extra
+            # damping only slows the near-null (barely observable) depth
+            # directions; convergence tests are unaffected.
             dmax = jnp.maximum(
                 A[:, jnp.arange(3), jnp.arange(3)].max(-1), 1e-12)
-            A = A + (lam + 1e-4 * dmax)[:, None, None] * jnp.eye(
+            A = A + (lam + 1e-2 * dmax)[:, None, None] * jnp.eye(
                 3, dtype=r.dtype)[None]
             A = jnp.where(prob.pt_used[:, None, None], A,
                           jnp.broadcast_to(jnp.eye(3, dtype=r.dtype), A.shape))

@@ -94,11 +94,12 @@ def _dist_lm(cfg: VOConfig, cam: Camera, T_c_w0, obs_uv, obs_pid, obs_valid,
         A = jnp.zeros((M_loc, 3, 3), r.dtype).at[safe_pid].add(Hpp_obs, mode="drop")
         b_p = jnp.zeros((M_loc, 3), r.dtype).at[safe_pid].add(gp_obs, mode="drop")
         # relative Tikhonov floor — same formula as models.ba; agreement is
-        # up to f32 summation-order noise, bounded by the conditioning
-        # floor (see test_dist_ba)
+        # up to f32 summation-order noise, bounded to ~1e-4 relative by the
+        # 1e-2 conditioning floor (see the rationale in models/ba.py and
+        # the 20-seed gate in test_dist_ba)
         dmax = jnp.maximum(
             A[:, jnp.arange(3), jnp.arange(3)].max(-1), 1e-12)
-        A = A + (lam + 1e-4 * dmax)[:, None, None] * jnp.eye(
+        A = A + (lam + 1e-2 * dmax)[:, None, None] * jnp.eye(
             3, dtype=r.dtype)[None]
         A = jnp.where(pt_used_shard[:, None, None], A,
                       jnp.broadcast_to(jnp.eye(3, dtype=r.dtype), A.shape))

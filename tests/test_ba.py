@@ -122,7 +122,10 @@ def test_joint_ba_schur_converges():
 def test_joint_ba_with_noise_reduces_cost():
     prob, cam, T_gt, pts_gt = _make_problem(
         noise_px=1.0, pose_noise=0.02, pt_noise=0.03, seed=3)
-    cfg = _cfg(fix_points=False, iters=25)
+    # the 1e-2 conditioning floor (models/ba.py) slows the weakly-observed
+    # depth directions, so reaching the noise floor takes more iterations
+    # than the 25 that sufficed at the older 1e-4 floor
+    cfg = _cfg(fix_points=False, iters=60)
     _, _, costs = BA.ba_solve(cfg, cam, prob)
     c = np.asarray(costs)
     assert np.isfinite(c[-1])
@@ -132,7 +135,12 @@ def test_joint_ba_with_noise_reduces_cost():
     # observed. Absolute bound, not a ratio of c[0] — c[0] is the cost
     # after the FIRST LM step, whose accept/reject outcome is not a stable
     # normalizer.
-    assert c[-1] < 3.2, c
+    # 3.3 rather than the ~2.96 raw noise floor: the 1e-2 conditioning
+    # floor holds the weakly-observed depth directions slightly off their
+    # unregularized optimum (~8% cost) in exchange for deterministic
+    # dist-vs-single agreement (test_dist_ba); pose/point accuracy is
+    # unaffected (test_joint_ba_schur_converges).
+    assert c[-1] < 3.3, c
     # and the LM trajectory must actually descend
     assert c[-1] <= c[0], c
 

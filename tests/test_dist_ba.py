@@ -25,38 +25,39 @@ def test_mesh_has_8_devices():
     assert len(jax.devices()) == 8
 
 
-def test_dist_matches_single_device_one_iteration():
-    """One LM iteration is fully deterministic: the sharded Schur reduction
-    must reproduce the single-device solver bit-for-bit (up to psum
-    reduction order)."""
-    prob, cam, T_gt, pts_gt = _make_problem(M=256, noise_px=0.3, pose_noise=0.02,
-                                            pt_noise=0.03)
+def test_dist_matches_single_device_one_iteration_20_seeds():
+    """One LM iteration: the sharded Schur reduction must reproduce the
+    single-device solver to the f32 noise floor, across 20 seeds.
+
+    The agreement bound is set by the solvers' relative Tikhonov floor
+    (1e-2 * dmax, models/ba.py): it caps each point block's condition
+    number at ~3e2, so f32 summation-order differences between the two
+    compilations (~1e-7 relative on the Gram sums) can disturb a point
+    update by at most ~1e-4 of dmax — observed worst case 0.012 absolute
+    on unit-scale scenes over seeds 0..19 (at the earlier 1e-4 floor the
+    worst case was 0.37)."""
     cfg = _cfg(iters=1)
-    T_ref, pts_ref, c_ref = BA.ba_solve(cfg, cam, prob)
-    solve = dist_ba.make_dist_ba(cfg, cam, M.points_mesh())
-    T_dist, pts_dist, c_dist = solve(prob)
-    np.testing.assert_allclose(np.asarray(T_dist), np.asarray(T_ref), atol=1e-3)
-    # Landmark blocks seen from only ~2 nearby cameras are near-singular;
-    # their inverses amplify f32 summation-order noise by orders of
-    # magnitude (ref and dist both produce the same huge-but-matching
-    # updates to ~3%). Gate the bulk, allow an ill-conditioned tail.
-    # Point agreement bound set by physics, not by exact equality: a
-    # 2-observation landmark's Hessian has a ~6000:1 eigenvalue spread
-    # (depth direction nearly unconstrained), so f32 summation-order noise
-    # (~1e-2 absolute on 1e4-magnitude Gram sums) passes through A^-1
-    # almost unattenuated along depth. Deltas agree to a few percent.
-    used = np.asarray(prob.pt_used)
-    d = np.abs(np.asarray(pts_dist)[used] - np.asarray(pts_ref)[used]).max(1)
-    assert np.percentile(d, 75) < 0.05, np.percentile(d, 75)
-    # The solver's relative Tikhonov floor bounds each point block's
-    # condition number at ~1e4, so f32 summation-order noise (~1e-7 rel on
-    # the Gram sums) can disturb a point update by at most a few percent of
-    # its magnitude — observed tail max ~0.1 on the worst 2-observation
-    # landmarks (without the floor this was unbounded: 0.47+ flakes).
-    assert d.max() < 0.2, d.max()
-    # Cost after one step inherits the tail points' few-percent update
-    # differences (their residuals dominate the decrease on this problem).
-    np.testing.assert_allclose(np.asarray(c_dist), np.asarray(c_ref), rtol=0.1)
+    solve = None
+    worst, p75, pose_worst = 0.0, 0.0, 0.0
+    for seed in range(20):
+        prob, cam, T_gt, pts_gt = _make_problem(
+            M=256, noise_px=0.3, pose_noise=0.02, pt_noise=0.03, seed=seed)
+        if solve is None:
+            solve = dist_ba.make_dist_ba(cfg, cam, M.points_mesh())
+        T_ref, pts_ref, c_ref = BA.ba_solve(cfg, cam, prob)
+        T_dist, pts_dist, c_dist = solve(prob)
+        pose_worst = max(pose_worst, float(
+            np.abs(np.asarray(T_dist) - np.asarray(T_ref)).max()))
+        used = np.asarray(prob.pt_used)
+        d = np.abs(np.asarray(pts_dist)[used] - np.asarray(pts_ref)[used]).max(1)
+        worst = max(worst, float(d.max()))
+        p75 = max(p75, float(np.percentile(d, 75)))
+    assert pose_worst < 1e-4, pose_worst
+    assert p75 < 0.01, p75
+    assert worst < 0.02, worst
+    # (no cost gate here: the reported per-iteration cost depends on the
+    # accept/reject decision, which can flip on f32 ties between the two
+    # compilations even when the accepted states agree to 1e-4)
 
 
 def test_dist_reaches_single_device_cost():
