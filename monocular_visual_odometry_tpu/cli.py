@@ -118,10 +118,12 @@ def main(argv=None) -> int:
             print(format_step(i, out))
             if args.save_frames:
                 with timer.time("draw"):
-                    st = engine.state
+                    # current frame's keypoints green, inlier matches red
+                    # (drawResultByOpenCV, run_vo.cpp:202-217)
                     draw.draw_frame(
-                        img.astype(np.uint8), np.asarray(st.ref_feats.kpts),
-                        np.asarray(st.ref_feats.valid),
+                        img.astype(np.uint8), np.asarray(out.kpts),
+                        np.asarray(out.kpt_valid),
+                        inlier_mask=np.asarray(out.kpt_inlier),
                         out_path=os.path.join(args.output, f"frame_{i:05d}.png"))
             if args.checkpoint_every and (i + 1) % args.checkpoint_every == 0:
                 with timer.time("checkpoint"):
@@ -136,11 +138,20 @@ def main(argv=None) -> int:
     print(f"[cli] trajectory ({len(est)} poses) -> {traj_path}")
 
     st = engine.state
-    map_pts = np.asarray(st.map.pts)[np.asarray(st.map.valid)]
+    valid = np.asarray(st.map.valid)
+    map_pts = np.asarray(st.map.pts)[valid]
+    # newly-triangulated points: created at the most recent keyframe event
+    # (the reference's red updateCurrPoints cloud, pcl_display.cpp:16-33)
+    created = np.asarray(st.map.created_idx)
+    last_created = created[valid].max() if valid.any() else -1
+    new_pts = np.asarray(st.map.pts)[valid & (created == last_created)]
+    n_kf = min(int(st.kf_count), st.kf_poses.shape[0])
+    keyframes = np.asarray(st.kf_poses)[:n_kf]
     plot = trajectory.plot_trajectory(
         est, gt[: len(est)] if gt is not None else None, map_pts,
+        keyframes=keyframes, new_pts=new_pts,
         out_path=os.path.join(args.output, "trajectory.png"),
-        title=f"{len(est)} frames, {len(map_pts)} map points")
+        title=f"{len(est)} frames, {n_kf} keyframes, {len(map_pts)} map points")
     print(f"[cli] plot -> {plot}")
 
     report = {
@@ -148,11 +159,15 @@ def main(argv=None) -> int:
         "wall_s": round(wall, 3),
         "fps": round(len(est) / wall, 2) if wall > 0 else 0.0,
         "map_points": int(len(map_pts)),
+        "keyframes": n_kf,
     }
     if gt is not None and len(est) == len(gt[: len(est)]) and len(est) > 2:
         report["ate_sim3"] = metrics.ate_rmse(est, gt[: len(est)], "sim3")
         report["ate_scale"] = metrics.ate_rmse(est, gt[: len(est)], "scale")
         report["gt_traj_length"] = metrics.trajectory_length(gt[: len(est)])
+        drift = metrics.drift_curve(est, gt[: len(est)])
+        report["drift_final"] = float(drift[-1])
+        report["drift_per_frame"] = [round(float(d), 4) for d in drift]
     with open(os.path.join(args.output, "report.json"), "w") as f:
         json.dump(report, f, indent=2)
     print(f"[cli] report: {json.dumps(report)}")

@@ -37,6 +37,10 @@ class MapState(NamedTuple):
     visible: jnp.ndarray   # [M] int32
     matched: jnp.ndarray   # [M] int32
     valid: jnp.ndarray     # [M] bool
+    created_idx: jnp.ndarray  # [M] int32 frame index at creation — lets the
+                              # viewer show "newly triangulated" points red,
+                              # as the reference's updateCurrPoints cloud
+                              # (pcl_display.cpp:16-33)
 
     @property
     def n_valid(self):
@@ -51,6 +55,7 @@ class MapState(NamedTuple):
             visible=jnp.zeros(capacity, jnp.int32),
             matched=jnp.zeros(capacity, jnp.int32),
             valid=jnp.zeros(capacity, bool),
+            created_idx=jnp.full(capacity, -1, jnp.int32),
         )
 
 
@@ -102,6 +107,11 @@ class VOState(NamedTuple):
     ring: FrameRing
     erase_ratio: jnp.ndarray  # scalar f32 (optimizeMap_'s adaptive ratio)
     rng: jnp.ndarray          # PRNG key
+    # keyframe pose log (Map::keyframes_ analogue, map.h:18, kept as the
+    # most recent max_keyframes poses) — feeds the viewer's red keyframe
+    # markers (pcl_display.cpp:16-29)
+    kf_poses: jnp.ndarray     # [Kf,4,4] T_w_c at keyframe insertion
+    kf_count: jnp.ndarray     # scalar int32 (total ever inserted)
 
 
 class StepOutput(NamedTuple):
@@ -117,6 +127,12 @@ class StepOutput(NamedTuple):
     tracking_ok: jnp.ndarray  # bool (PnP accepted)
     used_homography: jnp.ndarray  # bool (init only)
     n_map_points: jnp.ndarray # int32
+    # current frame's keypoints + per-keypoint inlier flag, for the
+    # drawResultByOpenCV-parity overlay (run_vo.cpp:202-217: all keypoints
+    # green, inlier matches red)
+    kpts: jnp.ndarray         # [K,2]
+    kpt_valid: jnp.ndarray    # [K] bool
+    kpt_inlier: jnp.ndarray   # [K] bool
 
 
 def empty_features(k: int) -> FrameFeatures:
@@ -147,12 +163,22 @@ def init_state(cfg: VOConfig, seed: int = 0) -> VOState:
         ring=FrameRing.empty(cfg.map.frame_buffer, k),
         erase_ratio=jnp.asarray(cfg.map.default_erase_ratio, jnp.float32),
         rng=jax.random.PRNGKey(seed),
+        kf_poses=jnp.tile(jnp.eye(4, dtype=jnp.float32),
+                          (cfg.map.max_keyframes, 1, 1)),
+        kf_count=jnp.asarray(0, jnp.int32),
     )
+
+
+def push_keyframe(st: "VOState", pose: jnp.ndarray) -> "VOState":
+    """Append a pose to the keyframe log (ring over max_keyframes)."""
+    slot = st.kf_count % st.kf_poses.shape[0]
+    return st._replace(kf_poses=st.kf_poses.at[slot].set(pose),
+                       kf_count=st.kf_count + 1)
 
 
 def insert_map_points(
     m: MapState, pts: jnp.ndarray, desc: jnp.ndarray, normals: jnp.ndarray,
-    mask: jnp.ndarray,
+    mask: jnp.ndarray, frame_idx: jnp.ndarray | int = 0,
 ) -> tuple[MapState, jnp.ndarray]:
     """Functional map insertion (insertMapPoint, map.cpp:22-32).
 
@@ -176,5 +202,7 @@ def insert_map_points(
         visible=m.visible.at[slot].set(1, mode="drop"),
         matched=m.matched.at[slot].set(1, mode="drop"),
         valid=m.valid.at[slot].set(True, mode="drop"),
+        created_idx=m.created_idx.at[slot].set(
+            jnp.asarray(frame_idx, jnp.int32), mode="drop"),
     )
     return new, jnp.where(can, slot, -1).astype(jnp.int32)

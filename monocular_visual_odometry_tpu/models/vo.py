@@ -87,11 +87,14 @@ def _step_first_impl(cfg: VOConfig, cam: Camera, st: S.VOState, img: jnp.ndarray
         last_keyframe_pose=eye,
         ring=ring,
     )
+    new = S.push_keyframe(new, eye)
     out = S.StepOutput(
         T_w_c=eye, stage=new.stage, n_keypoints=feats.n_valid,
         n_matches=jnp.asarray(0, jnp.int32), n_inliers=jnp.asarray(0, jnp.int32),
         is_keyframe=jnp.asarray(True), tracking_ok=jnp.asarray(True),
         used_homography=jnp.asarray(False), n_map_points=new.map.n_valid,
+        kpts=feats.kpts, kpt_valid=feats.valid,
+        kpt_inlier=jnp.zeros(k, bool),
     )
     return new, out
 
@@ -154,7 +157,8 @@ def _step_init_impl(cfg: VOConfig, cam: Camera, st: S.VOState, img: jnp.ndarray)
     cam_center = T_w_c2[:3, 3]
     nrm = pts_w - cam_center[None, :]
     nrm = nrm / (jnp.linalg.norm(nrm, axis=-1, keepdims=True) + 1e-9)
-    new_map, slots = S.insert_map_points(st.map, pts_w, desc_new, nrm, insert_mask)
+    new_map, slots = S.insert_map_points(st.map, pts_w, desc_new, nrm,
+                                         insert_mask, frame_idx=st.frame_idx)
 
     k = cfg.orb.max_keypoints
     curr_mp = jnp.full(k, -1, jnp.int32)
@@ -175,15 +179,19 @@ def _step_init_impl(cfg: VOConfig, cam: Camera, st: S.VOState, img: jnp.ndarray)
         last_keyframe_pose=T_w_c2,
         map=new_map,
     )
+    succeeded = S.push_keyframe(succeeded, T_w_c2)
     unchanged = st._replace(T_w_c=st.ref_pose)
     new = _tree_select(is_good, succeeded, unchanged)
     new = new._replace(frame_idx=st.frame_idx + 1, ring=ring, rng=rng)
 
+    kpt_inlier = jnp.zeros(k, bool).at[m.train_idx].set(
+        good & is_good, mode="drop")
     out = S.StepOutput(
         T_w_c=pose_out, stage=new.stage, n_keypoints=feats.n_valid,
         n_matches=m.n_valid, n_inliers=n_good,
         is_keyframe=is_good, tracking_ok=jnp.asarray(True),
         used_homography=tv.used_homography, n_map_points=new.map.n_valid,
+        kpts=feats.kpts, kpt_valid=feats.valid, kpt_inlier=kpt_inlier,
     )
     return new, out
 
@@ -251,11 +259,14 @@ def _step_track_impl(cfg: VOConfig, cam: Camera, st: S.VOState, img: jnp.ndarray
     new = st._replace(
         frame_idx=st.frame_idx + 1, T_w_c=pose, map=new_map, ring=ring, rng=rng
     )
+    kpt_inlier = jnp.zeros(k, bool).at[m.train_idx].set(
+        res.inliers & ok, mode="drop")
     out = S.StepOutput(
         T_w_c=pose, stage=new.stage, n_keypoints=feats.n_valid,
         n_matches=m.n_valid, n_inliers=res.n_inliers,
         is_keyframe=need_kf, tracking_ok=ok,
         used_homography=jnp.asarray(False), n_map_points=new_map.n_valid,
+        kpts=feats.kpts, kpt_valid=feats.valid, kpt_inlier=kpt_inlier,
     )
     return new, out, feats, curr_mp
 
@@ -316,7 +327,8 @@ def _keyframe_update_impl(cfg: VOConfig, cam: Camera, st: S.VOState,
     cam_center = st.T_w_c[:3, 3]
     nrm = pts_w - cam_center[None, :]
     nrm = nrm / (jnp.linalg.norm(nrm, axis=-1, keepdims=True) + 1e-9)
-    new_map, slots = S.insert_map_points(st.map, pts_w, desc_new, nrm, fresh)
+    new_map, slots = S.insert_map_points(st.map, pts_w, desc_new, nrm, fresh,
+                                         frame_idx=st.frame_idx - 1)
 
     link_target = jnp.where(reuse, ref_links, jnp.where(fresh, slots, -1))
     curr_mp = curr_mp.at[m.train_idx].set(
@@ -356,7 +368,7 @@ def _keyframe_update_impl(cfg: VOConfig, cam: Camera, st: S.VOState,
         erase_ratio=erase_ratio,
         rng=rng,
     )
-    return new
+    return S.push_keyframe(new, st.T_w_c)
 
 
 # ---------------------------------------------------------------------------

@@ -78,3 +78,14 @@ def ate_rmse(est: np.ndarray, gt: np.ndarray, align: str = "sim3") -> float:
 def trajectory_length(poses: np.ndarray) -> float:
     p = _positions(poses)
     return float(np.sum(np.linalg.norm(np.diff(p, axis=0), axis=1)))
+
+
+def drift_curve(est: np.ndarray, gt: np.ndarray) -> np.ndarray:
+    """Per-frame absolute position error [N] after sim3 alignment of the
+    whole trajectory — the drift profile (how error accumulates with
+    sequence length, the quantity the ATE scalar hides)."""
+    est = np.asarray(est)
+    gt = np.asarray(gt)
+    s, R, t = align_umeyama(est, gt)
+    pe = (_positions(est) @ R.T) * s + t
+    return np.linalg.norm(pe - _positions(gt), axis=1)

@@ -1,9 +1,12 @@
 """Trajectory + map visualization.
 
 Replaces the reference's PclViewer (``/root/reference/src/display/
-pcl_display.cpp``: white estimated trajectory, red keyframes, green ground
-truth, map-point cloud) with offline matplotlib exports — same information,
-no interactive dependency.
+pcl_display.cpp:16-33``: white estimated trajectory, red keyframe markers,
+green ground truth, grey map-point cloud, red newly-triangulated current
+points, camera glyph) with offline matplotlib exports — the same
+information content, no interactive dependency. Like the reference's
+display (run_vo.cpp:256-262), the estimated trajectory is scale-aligned to
+ground truth before drawing (monocular scale is arbitrary).
 """
 
 from __future__ import annotations
@@ -16,27 +19,84 @@ import numpy as np
 
 def plot_trajectory(est: np.ndarray, gt: Optional[np.ndarray] = None,
                     map_pts: Optional[np.ndarray] = None,
+                    keyframes: Optional[np.ndarray] = None,
+                    new_pts: Optional[np.ndarray] = None,
                     out_path: str = "trajectory.png",
-                    title: str = "") -> str:
-    """Top-down (x-z) + side (z-y) trajectory plot, estimated vs GT, with
-    optional map-point cloud. Returns the written path."""
+                    title: str = "", three_d: bool = True) -> str:
+    """Top-down (x-z) + side (z-y) trajectory views plus an optional 3-D
+    view: estimated vs GT, map-point cloud, keyframe markers (red), newly
+    triangulated points (red cloud), camera position glyph (x at the last
+    pose). Returns the written path.
+
+    ``keyframes``: [Kf,4,4] poses or [Kf,3] positions. ``new_pts``: [P,3].
+    The estimate (and everything expressed in its frame: map points,
+    keyframes, new points) is scale-aligned to GT at display time, as the
+    reference does (run_vo.cpp:256-262).
+    """
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     est = np.asarray(est)
-    fig, axes = plt.subplots(1, 2, figsize=(12, 5))
     pe = est[:, :3, 3]
-    for ax, (i, j), name in zip(axes, [(0, 2), (2, 1)], ["top-down (x-z)", "side (z-y)"]):
-        if map_pts is not None and len(map_pts):
-            ax.scatter(map_pts[:, i], map_pts[:, j], s=2, c="#bbbbbb", label="map points")
-        ax.plot(pe[:, i], pe[:, j], "-o", ms=2, c="#1f77b4", label="estimated")
-        if gt is not None:
-            pg = np.asarray(gt)[:, :3, 3]
+
+    s = 1.0
+    if gt is not None and len(est) > 2:
+        from monocular_visual_odometry_tpu.utils.metrics import align_scale
+        s = align_scale(est, np.asarray(gt)[: len(est)])
+    origin = pe[0]
+    pe = (pe - origin) * s
+
+    def world(p):
+        return (np.asarray(p) - origin) * s
+
+    kf = None
+    if keyframes is not None and len(keyframes):
+        kf = np.asarray(keyframes)
+        kf = kf[:, :3, 3] if kf.ndim == 3 else kf
+        kf = world(kf)
+    mp = world(map_pts) if map_pts is not None and len(map_pts) else None
+    npts = world(new_pts) if new_pts is not None and len(new_pts) else None
+    pg = None
+    if gt is not None:
+        pg = np.asarray(gt)[:, :3, 3]
+        pg = pg - pg[0]
+
+    fig = plt.figure(figsize=(16, 5) if three_d else (12, 5))
+    axes = [fig.add_subplot(1, 3 if three_d else 2, k + 1)
+            for k in range(2)]
+    for ax, (i, j), name in zip(axes, [(0, 2), (2, 1)],
+                                ["top-down (x-z)", "side (z-y)"]):
+        if mp is not None:
+            ax.scatter(mp[:, i], mp[:, j], s=2, c="#bbbbbb", label="map points")
+        if npts is not None:
+            ax.scatter(npts[:, i], npts[:, j], s=6, c="#d62728",
+                       label="new points")
+        ax.plot(pe[:, i], pe[:, j], "-", lw=1.2, c="#1f77b4", label="estimated")
+        if kf is not None:
+            ax.scatter(kf[:, i], kf[:, j], s=18, c="#d62728", marker="s",
+                       label="keyframes")
+        if pg is not None:
             ax.plot(pg[:, i], pg[:, j], "-", c="#2ca02c", label="ground truth")
+        ax.scatter([pe[-1, i]], [pe[-1, j]], s=60, c="#1f77b4", marker="x")
         ax.set_title(name)
         ax.axis("equal")
         ax.legend(fontsize=8)
+
+    if three_d:
+        ax3 = fig.add_subplot(1, 3, 3, projection="3d")
+        if mp is not None:
+            ax3.scatter(mp[:, 0], mp[:, 2], mp[:, 1], s=1, c="#bbbbbb")
+        if npts is not None:
+            ax3.scatter(npts[:, 0], npts[:, 2], npts[:, 1], s=5, c="#d62728")
+        ax3.plot(pe[:, 0], pe[:, 2], pe[:, 1], c="#1f77b4")
+        if kf is not None:
+            ax3.scatter(kf[:, 0], kf[:, 2], kf[:, 1], s=15, c="#d62728",
+                        marker="s")
+        if pg is not None:
+            ax3.plot(pg[:, 0], pg[:, 2], pg[:, 1], c="#2ca02c")
+        ax3.set_title("3-D (x, z, y)")
+
     if title:
         fig.suptitle(title)
     os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
