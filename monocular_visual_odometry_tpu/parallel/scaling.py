@@ -16,7 +16,11 @@ virtual N-device CPU mesh:
 
 Problem shape mirrors the live pipeline at map capacity: window 5,
 K=1024 observations/frame, M=4096 landmarks, 20 LM iterations, joint
-(points-free) mode — the regime the distribution exists for.
+mode — the regime the distribution exists for. With both the observation
+axis and the landmark blocks sharded (parallel.dist_ba), the only
+replicated FLOPs left are the [6W,6W] solve and the pose retraction, so
+the FLOPs efficiency at the live shape is ~1.0 at N=8 (it was 0.537 when
+only the landmark blocks were sharded, SCALING_r02.json).
 """
 
 from __future__ import annotations
