@@ -136,11 +136,72 @@ def main() -> int:
            "extras": {"config": 3, "frames": N_FRAMES, "ate_sim3": round(ate3, 4),
                       "device": device}})
 
+    # ---- MFU / speed-of-light accounting (BASELINE "north star") ----------
+    # Per-stage compiled-FLOPs / wall / device-peak for the two kernels the
+    # north star names (matcher matmul, BA LM step) plus the whole
+    # pipeline. Peak reference: TPU v5e bf16 MXU ~197 TFLOP/s (the matcher
+    # rides bf16; f32 stages see a lower effective peak, so their MFU is
+    # conservative). Wall is measured with a 20-iteration on-device scan —
+    # one dispatch, no tunnel latency in the denominator.
+    PEAK_FLOPS = 197e12 if "v5" in device else 180e12
+
+    def _mfu(fn, *args, iters=20):
+        # args are real jit arguments (NOT closure constants) so XLA cannot
+        # constant-fold the measured computation away
+        @jax.jit
+        def scan_fn(*a):
+            def body(c, _):
+                out = fn(*a)
+                leaf = jax.tree.leaves(out)[0]
+                return c + jnp.sum(leaf).astype(jnp.float32) * 0, None
+            return jax.lax.scan(body, jnp.float32(0), None, length=iters)[0]
+
+        lowered = scan_fn.lower(*args)
+        compiled = lowered.compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", float("nan"))) if ca else float("nan")
+        jax.block_until_ready(compiled(*args))
+        t0 = time.perf_counter()
+        jax.block_until_ready(compiled(*args))
+        wall = time.perf_counter() - t0
+        return {"flops_per_call": round(flops / iters, 0),
+                "wall_ms_per_call": round(wall / iters * 1e3, 4),
+                "mfu_vs_bf16_peak": round(flops / wall / PEAK_FLOPS, 6)}
+
+    from monocular_visual_odometry_tpu.models.ba import ba_update_state
+
+    f1_feats = features_from_config(stack[0], cfg.orb)
+    f2_feats = features_from_config(stack[3], cfg.orb)
+    mfu_match = _mfu(
+        lambda d1, d2, v1, v2, k1, k2: matching.match_features(
+            d1, d2, v1, v2, k1, k2, method=cfg.match.method_index,
+            max_pixel_dist=cfg.match.max_pixel_dist_init),
+        f1_feats.desc, f2_feats.desc, f1_feats.valid, f2_feats.valid,
+        f1_feats.kpts, f2_feats.kpts)
+
+    st_ba = S.init_state(cfg)
+    st_ba, _ = run_sequence(cfg, cam, st_ba, stack[:12], height=H, width=W)
+    mfu_ba = _mfu(lambda s: ba_update_state(cfg, cam, s), st_ba)
+
     # ---- cfg4: full VO + windowed BA (HEADLINE) -----------------------------
     est4, wall4 = scan_run(cfg, stack)
     ate4 = metrics.ate_rmse(est4, gt, "sim3")
     drift = metrics.drift_curve(est4, gt)
     fps = N_FRAMES / wall4
+    # whole-pipeline useful-FLOPs rate from the compiled scan program
+    try:
+        ca4 = run_sequence.lower(cfg, cam, S.init_state(cfg), stack,
+                                 height=H, width=W).compile().cost_analysis()
+        ca4 = ca4[0] if isinstance(ca4, (list, tuple)) else ca4
+        flops4 = float(ca4.get("flops", float("nan"))) if ca4 else float("nan")
+    except Exception:
+        flops4 = float("nan")
+    mfu_pipeline = {
+        "flops_per_frame": (round(flops4 / N_FRAMES, 0)
+                            if np.isfinite(flops4) else None),
+        "mfu_vs_bf16_peak": (round(flops4 / wall4 / PEAK_FLOPS, 6)
+                             if np.isfinite(flops4) else None)}
     _emit({
         "metric": "vo_fps",
         "value": round(fps, 2),
@@ -156,6 +217,8 @@ def main() -> int:
             "drift_p95": round(float(np.percentile(drift, 95)), 4),
             "gt_traj_length": round(metrics.trajectory_length(gt), 3),
             "scan_wall_s": round(wall4, 2),
+            "mfu": {"matcher": mfu_match, "ba_step": mfu_ba,
+                    "pipeline": mfu_pipeline},
             "device": device,
         },
     })

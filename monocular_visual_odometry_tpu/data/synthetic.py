@@ -179,6 +179,58 @@ def render_sequence(out_dir: str, n_frames: int = 60, seed: int = 0,
 
 
 # ---------------------------------------------------------------------------
+# adversarial photometric perturbations (robustness evaluation)
+# ---------------------------------------------------------------------------
+
+
+def perturb_frames(frames: np.ndarray, kind: str, severity: float,
+                   seed: int = 0) -> np.ndarray:
+    """Apply an adversarial photometric perturbation to a rendered [N,H,W]
+    sequence (float or uint8; returns float32 in [0,255]).
+
+    The clean renderer's statistics are friendly to FAST (sharp binarized
+    edges, _multiscale_texture); real imagery is not — the reference itself
+    documents failing on TUM fr1 for feature-statistics reasons
+    (/root/reference/README.md:212). These perturbations push the rendered
+    frames toward the failure axes of real sensors:
+
+    - ``noise``       — additive Gaussian sensor noise, sigma = ``severity``
+                        gray levels (real CMOS at high gain: 3-10)
+    - ``blur``        — horizontal motion blur (box kernel of width
+                        ``severity`` px; lateral motion is this benchmark's
+                        dominant image velocity)
+    - ``exposure``    — slow exposure drift: per-frame gain
+                        1 ± 0.5*severity and bias ±20*severity gray levels,
+                        out of phase (auto-exposure hunting)
+    - ``low_contrast``— contrast squeeze toward the frame mean by factor
+                        ``severity`` (0..1; low-texture surfaces / flat
+                        lighting — the axis that kills FAST threshold 20)
+    """
+    rng = np.random.default_rng(seed)
+    out = frames.astype(np.float32).copy()
+    n = out.shape[0]
+    if kind == "noise":
+        out = out + rng.normal(0.0, severity, out.shape).astype(np.float32)
+    elif kind == "blur":
+        k = max(int(round(severity)), 1)
+        if k > 1:
+            kernel = np.ones(k, dtype=np.float32) / k
+            from scipy.ndimage import convolve1d
+
+            out = convolve1d(out, kernel, axis=2, mode="nearest")
+    elif kind == "exposure":
+        gain = 1.0 + 0.5 * severity * np.sin(np.arange(n) * 0.41)
+        bias = 20.0 * severity * np.cos(np.arange(n) * 0.23)
+        out = out * gain[:, None, None] + bias[:, None, None]
+    elif kind == "low_contrast":
+        mean = out.mean(axis=(1, 2), keepdims=True)
+        out = mean + float(severity) * (out - mean)
+    else:
+        raise ValueError(f"unknown perturbation kind: {kind}")
+    return np.clip(out, 0.0, 255.0).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
 # exact correspondence generators (for unit tests; no rendering)
 # ---------------------------------------------------------------------------
 

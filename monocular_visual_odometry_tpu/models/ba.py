@@ -51,15 +51,43 @@ class BAProblem(NamedTuple):
 
 
 def gather_window(cfg: VOConfig, st: S.VOState) -> tuple[BAProblem, jnp.ndarray]:
-    """Extract the last `window` frames from the ring buffer
+    """Extract the BA window from the ring buffer
     (callBundleAdjustment_'s frame collection, vo.cpp:395-453).
-    Also returns the ring slots [W] for write-back (newest first)."""
+    Also returns the ring slots [W] for write-back (newest first).
+
+    Two selection modes (cfg.ba.keyframe_window, jit-static):
+
+    - False: the last `window` FRAMES, newest first — the reference's
+      num_prev_frames_to_opti_by_ba slice of frames_buff_.
+    - True: the current frame + the last `window`-1 KEYFRAME slots. This
+      is closer to the reference's link-gated buffered-frame selection
+      (vo.cpp:417-453 keeps frames with >=3 map links — in this pipeline
+      exactly the keyframes carry dense links) and spans several times
+      more baseline per window, which anchors the newest pose against
+      older, better-established geometry.
+    """
     W = cfg.ba.window
     F = cfg.map.frame_buffer
-    j = jnp.arange(W, dtype=jnp.int32)
-    frame_ids = st.frame_idx - 1 - j                 # newest first
-    slots = jnp.mod(frame_ids, F)
-    frame_valid = (frame_ids >= 0) & st.ring.occupied[slots]
+    if cfg.ba.keyframe_window:
+        last = st.frame_idx - 1                       # current frame id
+        slot_ids = jnp.arange(F, dtype=jnp.int32)
+        # frame id currently occupying each ring slot
+        fid = last - jnp.mod(last - slot_ids, F)
+        cur_slot = jnp.mod(last, F)
+        eligible = (st.ring.occupied & st.ring.is_kf & (fid >= 0)
+                    & (slot_ids != cur_slot))
+        order = jnp.argsort(jnp.where(eligible, fid, -1))[::-1]  # newest kf first
+        kf_slots = order[: W - 1]
+        kf_ok = eligible[kf_slots]
+        slots = jnp.concatenate([cur_slot[None], kf_slots])
+        frame_ids = fid[slots]
+        frame_valid = jnp.concatenate(
+            [(st.ring.occupied[cur_slot] & (last >= 0))[None], kf_ok])
+    else:
+        j = jnp.arange(W, dtype=jnp.int32)
+        frame_ids = st.frame_idx - 1 - j                 # newest first
+        slots = jnp.mod(frame_ids, F)
+        frame_valid = (frame_ids >= 0) & st.ring.occupied[slots]
 
     poses_w_c = st.ring.poses[slots]                 # [W,4,4]
     T_c_w = jax.vmap(lie.inv_T)(poses_w_c)

@@ -68,6 +68,9 @@ class FrameRing(NamedTuple):
     kpts: jnp.ndarray       # [F,K,2]
     mp_idx: jnp.ndarray     # [F,K] int32, -1 = not linked to a map point
     occupied: jnp.ndarray   # [F] bool
+    is_kf: jnp.ndarray      # [F] bool — frame was (or became) a keyframe;
+                            # feeds the keyframe-window BA selection
+                            # (models.ba.gather_window, cfg.ba.keyframe_window)
 
     @staticmethod
     def empty(n_frames: int, n_kpts: int) -> "FrameRing":
@@ -76,15 +79,17 @@ class FrameRing(NamedTuple):
             kpts=jnp.zeros((n_frames, n_kpts, 2), jnp.float32),
             mp_idx=jnp.full((n_frames, n_kpts), -1, jnp.int32),
             occupied=jnp.zeros(n_frames, bool),
+            is_kf=jnp.zeros(n_frames, bool),
         )
 
     def push(self, slot: jnp.ndarray, pose: jnp.ndarray, kpts: jnp.ndarray,
-             mp_idx: jnp.ndarray) -> "FrameRing":
+             mp_idx: jnp.ndarray, is_kf=False) -> "FrameRing":
         return FrameRing(
             poses=self.poses.at[slot].set(pose),
             kpts=self.kpts.at[slot].set(kpts),
             mp_idx=self.mp_idx.at[slot].set(mp_idx),
             occupied=self.occupied.at[slot].set(True),
+            is_kf=self.is_kf.at[slot].set(is_kf),
         )
 
 

@@ -75,7 +75,7 @@ def _step_first_impl(cfg: VOConfig, cam: Camera, st: S.VOState, img: jnp.ndarray
     k = cfg.orb.max_keypoints
     eye = jnp.eye(4, dtype=jnp.float32)
     ring = st.ring.push(st.frame_idx % cfg.map.frame_buffer, eye, feats.kpts,
-                        jnp.full(k, -1, jnp.int32))
+                        jnp.full(k, -1, jnp.int32), is_kf=True)
     new = st._replace(
         stage=jnp.asarray(S.STAGE_INITIALIZING, jnp.int32),
         frame_idx=st.frame_idx + 1,
@@ -167,7 +167,8 @@ def _step_init_impl(cfg: VOConfig, cam: Camera, st: S.VOState, img: jnp.ndarray)
     pose_out = jnp.where(is_good, T_w_c2, st.ref_pose)
 
     ring = st.ring.push(st.frame_idx % cfg.map.frame_buffer, pose_out,
-                        feats.kpts, jnp.where(is_good, curr_mp, -1))
+                        feats.kpts, jnp.where(is_good, curr_mp, -1),
+                        is_kf=is_good)
 
     succeeded = st._replace(
         stage=jnp.asarray(S.STAGE_TRACKING, jnp.int32),
@@ -255,7 +256,7 @@ def _step_track_impl(cfg: VOConfig, cam: Camera, st: S.VOState, img: jnp.ndarray
     )
 
     ring = st.ring.push(st.frame_idx % cfg.map.frame_buffer, pose, feats.kpts,
-                        curr_mp)
+                        curr_mp, is_kf=need_kf)
     new = st._replace(
         frame_idx=st.frame_idx + 1, T_w_c=pose, map=new_map, ring=ring, rng=rng
     )
@@ -386,12 +387,14 @@ def step_fused(cfg: VOConfig, cam: Camera, st: S.VOState, img: jnp.ndarray,
     everywhere (no host round-trips between stages).
 
     ``mesh`` (jit-static): when a ``jax.sharding.Mesh`` is given, the
-    windowed BA runs the DISTRIBUTED joint solver — landmark blocks
-    sharded over the mesh's ``points`` axis, reduced camera system psum'd
-    over ICI/DCN (parallel.dist_ba). The BA is then computed
-    unconditionally and applied with a masked select instead of lax.cond,
-    keeping the collective schedule identical on every device and step.
-    ``cfg.map.max_map_points`` must divide the mesh size.
+    windowed BA runs DISTRIBUTED — observation columns and landmark
+    blocks sharded over the mesh's ``points`` axis, reduced camera system
+    psum'd over ICI/DCN (parallel.dist_ba), honouring
+    ``cfg.ba.fix_map_points`` exactly like the single-device path. The BA
+    is computed unconditionally and applied with a masked select instead
+    of lax.cond, keeping the collective schedule identical on every
+    device and step. ``cfg.map.max_map_points`` and
+    ``cfg.orb.max_keypoints`` must divide the mesh size.
     """
 
     def first_branch(st):

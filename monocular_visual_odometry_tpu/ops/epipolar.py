@@ -143,17 +143,22 @@ def estimate_essential(
     # 8-point samples collapse onto the plane-induced E family and their
     # gates exclude exactly the off-plane points that disambiguate it,
     # while the all-match solve keeps them (outlier rate is low after
-    # radius-gated matching).
+    # radius-gated matching). Both chains run BATCHED (vmapped refit) so
+    # the sequential depth is 4 refit rounds, not 12 — the refits are
+    # latency-bound single-model solves on TPU, so depth is what counts.
     E_best, s_best = Es[best], scores[best]
-    for seed_mask in ((d2[best] < cap) & valid, valid):
-        inl_cur = seed_mask
-        for _ in range(6):
-            E_cur = _weighted_eight_point(x1, x2, inl_cur.astype(x1.dtype))
-            s_cur, d2r = msac(E_cur)
-            inl_cur = (d2r < cap) & valid
-            better = s_cur <= s_best
-            E_best = jnp.where(better, E_cur, E_best)
-            s_best = jnp.minimum(s_cur, s_best)
+    seeds = jnp.stack([(d2[best] < cap) & valid,
+                       jnp.broadcast_to(valid, d2[best].shape)])  # [2,N]
+    refit = jax.vmap(lambda w: _weighted_eight_point(x1, x2, w))
+    inl_cur = seeds
+    for _ in range(4):
+        E_cur = refit(inl_cur.astype(x1.dtype))                  # [2,3,3]
+        s_cur, d2r = msac(E_cur)
+        inl_cur = (d2r < cap) & valid[None]
+        c_best = jnp.argmin(s_cur)
+        better = s_cur[c_best] <= s_best
+        E_best = jnp.where(better, E_cur[c_best], E_best)
+        s_best = jnp.minimum(s_cur[c_best], s_best)
     d2f = _sym_epipolar_dist2(E_best, x1, x2)
     inl_best = (d2f < cap) & valid
     return RansacModel(E_best, inl_best, jnp.sum(inl_best))
@@ -177,12 +182,46 @@ def _weighted_eight_point(x1, x2, w):
     return (U * jnp.asarray([sm, sm, 0.0])[None, :]) @ Vt
 
 
+def _solve_sym3(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form batched solve of symmetric 3x3 systems via the adjugate
+    — pure elementwise arithmetic, no LAPACK-style iteration. A: [...,3,3]
+    (symmetric), b: [...,3]. Near-singular systems get a relative-scaled
+    determinant floor; callers gate the resulting points by depth/parallax
+    anyway."""
+    a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    a11, a12, a22 = A[..., 1, 1], A[..., 1, 2], A[..., 2, 2]
+    c00 = a11 * a22 - a12 * a12
+    c01 = a02 * a12 - a01 * a22
+    c02 = a01 * a12 - a02 * a11
+    c11 = a00 * a22 - a02 * a02
+    c12 = a01 * a02 - a00 * a12
+    c22 = a00 * a11 - a01 * a01
+    det = a00 * c00 + a01 * c01 + a02 * c02
+    scale = jnp.maximum(jnp.abs(a00) + jnp.abs(a11) + jnp.abs(a22), _EPS)
+    det = jnp.where(jnp.abs(det) < _EPS * scale**3,
+                    _EPS * scale**3, det)
+    x0 = c00 * b[..., 0] + c01 * b[..., 1] + c02 * b[..., 2]
+    x1 = c01 * b[..., 0] + c11 * b[..., 1] + c12 * b[..., 2]
+    x2 = c02 * b[..., 0] + c12 * b[..., 1] + c22 * b[..., 2]
+    return jnp.stack([x0, x1, x2], axis=-1) / det[..., None]
+
+
 def triangulate(x1: jnp.ndarray, x2: jnp.ndarray, T_2_1: jnp.ndarray) -> jnp.ndarray:
     """Linear (DLT) triangulation of normalized-plane correspondences.
 
     Camera 1 has projection [I|0]; camera 2 has ``T_2_1`` (maps frame-1
     points into frame 2). Returns [N, 3] points in camera-1 frame.
     Mirrors doTriangulation (epipolar_geometry.cpp:130-175).
+
+    Solved in the inhomogeneous form (Hartley-Zisserman linear
+    triangulation with w=1): A = [B | c], X = -(B'B)^-1 B'c — a
+    closed-form batched 3x3 solve instead of a 4x4 nullspace
+    eigendecomposition. On TPU the batched eigh was the single most
+    expensive op of the whole init path (4.2 ms for N=1024 vs ~0.1 ms for
+    the closed form); points at infinity (w ~ 0), which the homogeneous
+    form can represent and this one cannot, blow up to huge coordinates
+    and are removed by the callers' positive-depth and parallax-angle
+    gates either way.
     """
     P1 = jnp.eye(3, 4, dtype=x1.dtype)
     P2 = T_2_1[:3, :]
@@ -194,11 +233,11 @@ def triangulate(x1: jnp.ndarray, x2: jnp.ndarray, T_2_1: jnp.ndarray) -> jnp.nda
         )
 
     A = jnp.concatenate([rows(P1, x1), rows(P2, x2)], axis=-2)  # [N,4,4]
-    X = nullspace_via_eigh(A)                                   # [N,4]
-    w = X[..., 3]
-    sign = jnp.where(w < 0, -1.0, 1.0)
-    X = X * sign[..., None]
-    return X[..., :3] / (X[..., 3:4] + jnp.where(X[..., 3:4] >= 0, _EPS, -_EPS))
+    B = A[..., :3]
+    c = A[..., 3]
+    BtB = jnp.einsum("...ki,...kj->...ij", B, B)                # [N,3,3]
+    Btc = jnp.einsum("...ki,...k->...i", B, c)                  # [N,3]
+    return -_solve_sym3(BtB, Btc)
 
 
 def depths_in_two_views(pts1: jnp.ndarray, T_2_1: jnp.ndarray):
@@ -375,16 +414,21 @@ def estimate_homography(
 
     scores, d2 = msac(Hs)
     best = jnp.argmin(scores)
+    # two consensus-refit chains, batched — same depth-4 structure and
+    # rationale as estimate_essential
     H_best, s_best = Hs[best], scores[best]
-    for seed_mask in ((d2[best] < cap) & valid, valid):
-        inl_cur = seed_mask
-        for _ in range(6):
-            H_cur = _weighted_h(p1, p2, inl_cur.astype(p1.dtype))
-            s_cur, d2r = msac(H_cur)
-            inl_cur = (d2r < cap) & valid
-            better = s_cur <= s_best
-            H_best = jnp.where(better, H_cur, H_best)
-            s_best = jnp.minimum(s_cur, s_best)
+    seeds = jnp.stack([(d2[best] < cap) & valid,
+                       jnp.broadcast_to(valid, d2[best].shape)])  # [2,N]
+    refit = jax.vmap(lambda w: _weighted_h(p1, p2, w))
+    inl_cur = seeds
+    for _ in range(4):
+        H_cur = refit(inl_cur.astype(p1.dtype))                  # [2,3,3]
+        s_cur, d2r = msac(H_cur)
+        inl_cur = (d2r < cap) & valid[None]
+        c_best = jnp.argmin(s_cur)
+        better = s_cur[c_best] <= s_best
+        H_best = jnp.where(better, H_cur[c_best], H_best)
+        s_best = jnp.minimum(s_cur[c_best], s_best)
     d2f = _sym_transfer_dist2(H_best, p1, p2)
     inl_best = (d2f < cap) & valid
     return RansacModel(H_best, inl_best, jnp.sum(inl_best))

@@ -63,7 +63,18 @@ class RansacConfig:
     formulation (fixed hypothesis count instead of adaptive early exit)."""
 
     threshold_px: float = 1.0            # findEssentialMat_threshold (pixels)
-    n_hypotheses: int = 512              # hypothesis batch per model
+    n_hypotheses: int = 256              # hypothesis batch per model.
+                                         # Sized to the post-radius-gate
+                                         # outlier rate: at 30% outliers an
+                                         # all-inlier 8-pt draw lands with
+                                         # p=0.7^8≈0.057, so 256 draws miss
+                                         # with p≈3e-7; the two batched
+                                         # consensus-refit chains
+                                         # (ops/epipolar.py) cover heavier
+                                         # contamination. 512 bought no ATE
+                                         # at 2x the init latency (the
+                                         # per-hypothesis 9x9 eigh is the
+                                         # init cost center on TPU).
     essential_minimal: str = "8pt"       # "5pt" = Nistér-class five-point
                                          # minimal samples (the
                                          # cv::findEssentialMat parity path,
@@ -130,6 +141,16 @@ class BAConfig:
     iterations: int = 20                 # LM iterations (g2o used 50; our LM converges faster)
     huber_delta: float = 3.0             # robust kernel width (pixels·sqrt(info))
     init_lambda: float = 1e-3
+    keyframe_window: bool = True         # window = current frame + last W-1
+                                         # KEYFRAME ring slots instead of the
+                                         # last W frames — closer to the
+                                         # reference's link-gated buffered-
+                                         # frame selection (vo.cpp:417-453)
+                                         # and spans more baseline per window.
+                                         # A/B on the 150-frame benchmark
+                                         # (profile_drift_ab.py): ATE 2.24%
+                                         # -> 1.79%, end drift 8.75% ->
+                                         # 3.20% of trajectory length.
 
 
 @dataclass(frozen=True)
