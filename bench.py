@@ -81,28 +81,37 @@ def main() -> int:
 
     @jax.jit
     def init_pair(img1, img2, key):
-        f1 = features_from_config(img1, cfg.orb)
-        f2 = features_from_config(img2, cfg.orb)
-        m = matching.match_features(
-            f1.desc, f2.desc, f1.valid, f2.valid, f1.kpts, f2.kpts,
-            method=cfg.match.method_index,
-            max_pixel_dist=cfg.match.max_pixel_dist_init)
-        tv = twoview.estimate_relative_pose(
-            f1.kpts[m.query_idx], f2.kpts[m.train_idx], m.valid, cam, key,
-            threshold_px=cfg.ransac.threshold_px,
-            n_hypotheses=cfg.ransac.n_hypotheses)
+        with jax.default_matmul_precision("highest"):  # see models.vo note
+            f1 = features_from_config(img1, cfg.orb)
+            f2 = features_from_config(img2, cfg.orb)
+            m = matching.match_features(
+                f1.desc, f2.desc, f1.valid, f2.valid, f1.kpts, f2.kpts,
+                method=cfg.match.method_index,
+                max_pixel_dist=cfg.match.max_pixel_dist_init)
+            tv = twoview.estimate_relative_pose(
+                f1.kpts[m.query_idx], f2.kpts[m.train_idx], m.valid, cam, key,
+                threshold_px=cfg.ransac.threshold_px,
+                n_hypotheses=cfg.ransac.n_hypotheses)
         return tv.R, tv.t, tv.inliers
 
     key = jax.random.PRNGKey(0)
     jax.block_until_ready(init_pair(stack[0], stack[3], key))   # compile
+    # pipelined timing (10 back-to-back calls, one sync): the per-call
+    # host->device sync on a tunnel-attached chip costs ~20 ms of pure RPC
+    # round trip that the device never sees; every other config amortizes
+    # dispatch the same way (scan), so config 1 must too to measure the
+    # device, not the tunnel
+    reps = 10
     times = []
-    for _ in range(5):
+    for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(init_pair(stack[0], stack[3], key))
-        times.append(time.perf_counter() - t0)
+        outs = [init_pair(stack[0], stack[3], key) for _ in range(reps)]
+        jax.block_until_ready(outs[-1])
+        times.append((time.perf_counter() - t0) / reps)
     _emit({"metric": "two_view_init_ms", "value": round(np.median(times) * 1e3, 2),
            "unit": "ms", "vs_baseline": None,
-           "extras": {"config": 1, "device": device}})
+           "extras": {"config": 1, "timing": f"pipelined x{reps}, single sync",
+                      "device": device}})
 
     # ---- scan helper -------------------------------------------------------
     def scan_run(cfg, frames_jnp):
@@ -146,43 +155,62 @@ def main() -> int:
     PEAK_FLOPS = 197e12 if "v5" in device else 180e12
 
     def _mfu(fn, *args, iters=20):
-        # args are real jit arguments (NOT closure constants) so XLA cannot
-        # constant-fold the measured computation away
+        # FLOPs from a SINGLE-call program (XLA cost analysis counts a
+        # while/scan body once, not x trip count, so lowering the scan
+        # would undercount); wall from an iters-long on-device scan (one
+        # dispatch — no tunnel latency in the denominator). fn takes
+        # (c, *args) and must mix the carry c into its heavy inputs so
+        # the loop body is not loop-invariant (hoistable); the checksum
+        # sums every output leaf so no branch is dead-code.
+        @jax.jit
+        def one(*a):
+            return fn(jnp.float32(0), *a)
+
+        comp1 = one.lower(*args).compile()
+        ca = comp1.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", float("nan"))) if ca else float("nan")
+
         @jax.jit
         def scan_fn(*a):
             def body(c, _):
-                out = fn(*a)
-                leaf = jax.tree.leaves(out)[0]
-                return c + jnp.sum(leaf).astype(jnp.float32) * 0, None
+                out = fn(c, *a)
+                chk = sum(jnp.sum(l).astype(jnp.float32)
+                          for l in jax.tree.leaves(out))
+                return c + chk * 1e-20, None
             return jax.lax.scan(body, jnp.float32(0), None, length=iters)[0]
 
-        lowered = scan_fn.lower(*args)
-        compiled = lowered.compile()
-        ca = compiled.cost_analysis()
-        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-        flops = float(ca.get("flops", float("nan"))) if ca else float("nan")
+        compiled = scan_fn.lower(*args).compile()
         jax.block_until_ready(compiled(*args))
         t0 = time.perf_counter()
         jax.block_until_ready(compiled(*args))
         wall = time.perf_counter() - t0
-        return {"flops_per_call": round(flops / iters, 0),
-                "wall_ms_per_call": round(wall / iters * 1e3, 4),
-                "mfu_vs_bf16_peak": round(flops / wall / PEAK_FLOPS, 6)}
+        wall_per = wall / iters
+        return {"flops_per_call": round(flops, 0),
+                "wall_ms_per_call": round(wall_per * 1e3, 4),
+                "mfu_vs_bf16_peak": round(flops / wall_per / PEAK_FLOPS, 6)}
 
     from monocular_visual_odometry_tpu.models.ba import ba_update_state
 
     f1_feats = features_from_config(stack[0], cfg.orb)
     f2_feats = features_from_config(stack[3], cfg.orb)
     mfu_match = _mfu(
-        lambda d1, d2, v1, v2, k1, k2: matching.match_features(
-            d1, d2, v1, v2, k1, k2, method=cfg.match.method_index,
+        # the carry perturbs the DESCRIPTORS (value 0 at runtime, unknown
+        # to the compiler) — perturbing only the keypoints lets XLA hoist
+        # the loop-invariant Hamming matmul out of the timing loop
+        lambda c, d1, d2, v1, v2, k1, k2: matching.match_features(
+            d1 + (c * 1e-20).astype(jnp.uint8), d2, v1, v2, k1, k2,
+            method=cfg.match.method_index,
             max_pixel_dist=cfg.match.max_pixel_dist_init),
         f1_feats.desc, f2_feats.desc, f1_feats.valid, f2_feats.valid,
         f1_feats.kpts, f2_feats.kpts)
 
     st_ba = S.init_state(cfg)
     st_ba, _ = run_sequence(cfg, cam, st_ba, stack[:12], height=H, width=W)
-    mfu_ba = _mfu(lambda s: ba_update_state(cfg, cam, s), st_ba)
+    mfu_ba = _mfu(
+        lambda c, s: ba_update_state(
+            cfg, cam, s._replace(T_w_c=s.T_w_c + c * 1e-12)),
+        st_ba)
 
     # ---- cfg4: full VO + windowed BA (HEADLINE) -----------------------------
     est4, wall4 = scan_run(cfg, stack)
@@ -197,10 +225,13 @@ def main() -> int:
         flops4 = float(ca4.get("flops", float("nan"))) if ca4 else float("nan")
     except Exception:
         flops4 = float("nan")
+    # XLA cost analysis counts the scan body ONCE, so flops4 is a
+    # per-frame estimate (an upper bound: both sides of each lax.cond are
+    # counted); scale by frames for the whole-run rate
     mfu_pipeline = {
-        "flops_per_frame": (round(flops4 / N_FRAMES, 0)
-                            if np.isfinite(flops4) else None),
-        "mfu_vs_bf16_peak": (round(flops4 / wall4 / PEAK_FLOPS, 6)
+        "flops_per_frame_est": (round(flops4, 0)
+                                if np.isfinite(flops4) else None),
+        "mfu_vs_bf16_peak": (round(flops4 * N_FRAMES / wall4 / PEAK_FLOPS, 6)
                              if np.isfinite(flops4) else None)}
     _emit({
         "metric": "vo_fps",

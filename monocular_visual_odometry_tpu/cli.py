@@ -40,6 +40,10 @@ def main(argv=None) -> int:
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--output", default="output")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--animate", action="store_true",
+                    help="also write trajectory.gif (incremental growing "
+                         "trajectory + map cloud, like the reference's "
+                         "demo GIFs, README.md:216-234)")
     ap.add_argument("--save-frames", action="store_true",
                     help="write annotated frames (run_vo.cpp:223-227 analogue)")
     ap.add_argument("--checkpoint-every", type=int, default=0,
@@ -153,6 +157,13 @@ def main(argv=None) -> int:
         out_path=os.path.join(args.output, "trajectory.png"),
         title=f"{len(est)} frames, {n_kf} keyframes, {len(map_pts)} map points")
     print(f"[cli] plot -> {plot}")
+    if args.animate and len(est) > 2:
+        gif = trajectory.animate_trajectory(
+            est, gt[: len(est)] if gt is not None else None,
+            map_pts=np.asarray(st.map.pts)[valid],
+            map_created_idx=created[valid],
+            out_path=os.path.join(args.output, "trajectory.gif"))
+        print(f"[cli] animation -> {gif}")
 
     report = {
         "frames": len(est),

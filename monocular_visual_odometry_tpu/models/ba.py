@@ -276,11 +276,14 @@ def ba_solve(cfg: VOConfig, cam: Camera, prob: BAProblem):
         # cost) so the costs trace is monotone and usable in assertions
         return (T_c_w, pts, lam), jnp.where(accept, cost_new, cost_old) / n_obs
 
-    (T_c_w, pts, _), costs = jax.lax.scan(
-        lm_step,
-        (prob.T_c_w, prob.pts, jnp.asarray(cfg.ba.init_lambda, jnp.float32)),
-        None, length=cfg.ba.iterations,
-    )
+    # true-f32 contractions: the MXU's default one-pass-bf16 f32 matmul
+    # corrupts the normal equations (see the note in models.vo.step_fused)
+    with jax.default_matmul_precision("highest"):
+        (T_c_w, pts, _), costs = jax.lax.scan(
+            lm_step,
+            (prob.T_c_w, prob.pts, jnp.asarray(cfg.ba.init_lambda, jnp.float32)),
+            None, length=cfg.ba.iterations,
+        )
     return T_c_w, pts, costs
 
 

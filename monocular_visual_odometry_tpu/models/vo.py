@@ -434,7 +434,19 @@ def step_fused(cfg: VOConfig, cam: Camera, st: S.VOState, img: jnp.ndarray,
         out = out._replace(T_w_c=new.T_w_c, n_map_points=new.map.n_valid)
         return new, out
 
-    return jax.lax.switch(st.stage, [first_branch, init_branch, track_branch], st)
+    # Geometry einsums/matmuls must be true f32: the TPU MXU's DEFAULT
+    # precision computes f32 matmuls as one bf16 pass, which poisons the
+    # Gram-based solves (triangulation BtB, 8-point AtA, BA/PnP normal
+    # equations) at the 1e-2 relative level — measured 0.75 max
+    # triangulation error vs 3e-4 at HIGHEST on v5e, and a 2.7x ATE
+    # regression end-to-end. HIGHEST (6-pass f32) costs nothing material
+    # here: the big matmul (the Hamming matcher) has explicit bf16 inputs
+    # and is unaffected; every f32 contraction in the pipeline is tiny.
+    # The context applies at trace time, so every branch traced inside
+    # the switch (features, matching, PnP, BA, keyframe update) inherits.
+    with jax.default_matmul_precision("highest"):
+        return jax.lax.switch(
+            st.stage, [first_branch, init_branch, track_branch], st)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "height", "width", "mesh"))
@@ -456,13 +468,25 @@ def run_sequence(cfg: VOConfig, cam: Camera, st: S.VOState, frames: jnp.ndarray,
 
 
 # jitted single-stage entry points (debugging / tests); the engine uses
-# step_fused
-step_first = functools.partial(jax.jit, static_argnames=("cfg",))(_step_first_impl)
-step_init = functools.partial(jax.jit, static_argnames=("cfg",))(_step_init_impl)
+# step_fused. Same true-f32 matmul pinning as step_fused.
+def _f32_matmuls(fn):
+    @functools.wraps(fn)
+    def wrapped(*a, **kw):
+        with jax.default_matmul_precision("highest"):
+            return fn(*a, **kw)
+    return wrapped
+
+
+step_first = functools.partial(jax.jit, static_argnames=("cfg",))(
+    _f32_matmuls(_step_first_impl))
+step_init = functools.partial(jax.jit, static_argnames=("cfg",))(
+    _f32_matmuls(_step_init_impl))
 step_track = functools.partial(
-    jax.jit, static_argnames=("cfg", "height", "width"))(_step_track_impl)
+    jax.jit, static_argnames=("cfg", "height", "width"))(
+    _f32_matmuls(_step_track_impl))
 keyframe_update = functools.partial(
-    jax.jit, static_argnames=("cfg", "height", "width"))(_keyframe_update_impl)
+    jax.jit, static_argnames=("cfg", "height", "width"))(
+    _f32_matmuls(_keyframe_update_impl))
 
 
 # ---------------------------------------------------------------------------

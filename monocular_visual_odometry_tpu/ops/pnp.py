@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from monocular_visual_odometry_tpu.ops import lie
+from monocular_visual_odometry_tpu.ops.precision import f32_matmuls
 from monocular_visual_odometry_tpu.ops.camera import Camera, cam2pixel
 from monocular_visual_odometry_tpu.ops.ransac import nullspace_via_eigh, sample_minimal_sets
 
@@ -249,6 +250,7 @@ def _gn_refine(T0_c_w: jnp.ndarray, pts_w: jnp.ndarray, uv: jnp.ndarray,
     return T
 
 
+@f32_matmuls
 def solve_pnp_ransac(
     pts_w: jnp.ndarray, uv: jnp.ndarray, valid: jnp.ndarray,
     cam: Camera, key: jax.Array,

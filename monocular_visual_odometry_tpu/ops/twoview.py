@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from monocular_visual_odometry_tpu.ops import epipolar as epi
 from monocular_visual_odometry_tpu.ops import lie, scoring
 from monocular_visual_odometry_tpu.ops.camera import Camera, pixel2cam_norm_plane
+from monocular_visual_odometry_tpu.ops.precision import f32_matmuls
 
 
 class TwoViewResult(NamedTuple):
@@ -53,6 +54,7 @@ class TwoViewResult(NamedTuple):
         return lie.rt_to_T(self.R, self.t)
 
 
+@f32_matmuls
 def estimate_relative_pose(
     uv1: jnp.ndarray, uv2: jnp.ndarray, valid: jnp.ndarray,
     cam: Camera, key: jax.Array,
@@ -178,6 +180,7 @@ def estimate_relative_pose(
     )
 
 
+@f32_matmuls
 def find_inlier_matches_by_epipolar(
     uv1: jnp.ndarray, uv2: jnp.ndarray, valid: jnp.ndarray,
     cam: Camera, key: jax.Array,
@@ -195,6 +198,7 @@ def find_inlier_matches_by_epipolar(
     return m.inliers
 
 
+@f32_matmuls
 def epipolar_filter_known_pose(
     uv1: jnp.ndarray, uv2: jnp.ndarray, valid: jnp.ndarray,
     cam: Camera, T_w_c1: jnp.ndarray, T_w_c2: jnp.ndarray,
@@ -219,6 +223,7 @@ def epipolar_filter_known_pose(
     return valid & (jnp.abs(r) < threshold_px / focal)
 
 
+@f32_matmuls
 def triangulate_with_pose(
     uv1: jnp.ndarray, uv2: jnp.ndarray, valid: jnp.ndarray,
     cam: Camera, T_w_c1: jnp.ndarray, T_w_c2: jnp.ndarray,

@@ -188,11 +188,14 @@ def _dist_lm(cfg: VOConfig, cam: Camera, T_c_w0, obs_uv, obs_pid, obs_valid,
         lam = jnp.where(accept, lam * 0.5, lam * 4.0)
         return (T_c_w, p_shard, lam), jnp.where(accept, cost_new, cost_old) / n_obs
 
-    (T_c_w, p_shard, _), costs = jax.lax.scan(
-        lm_step,
-        (T_c_w0, pts_shard, jnp.asarray(cfg.ba.init_lambda, jnp.float32)),
-        None, length=cfg.ba.iterations,
-    )
+    # true-f32 contractions: the MXU's default one-pass-bf16 f32 matmul
+    # corrupts the normal equations (see the note in models.vo.step_fused)
+    with jax.default_matmul_precision("highest"):
+        (T_c_w, p_shard, _), costs = jax.lax.scan(
+            lm_step,
+            (T_c_w0, pts_shard, jnp.asarray(cfg.ba.init_lambda, jnp.float32)),
+            None, length=cfg.ba.iterations,
+        )
     return T_c_w, p_shard, costs
 
 

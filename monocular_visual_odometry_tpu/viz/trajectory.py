@@ -103,3 +103,83 @@ def plot_trajectory(est: np.ndarray, gt: Optional[np.ndarray] = None,
     fig.savefig(out_path, dpi=110, bbox_inches="tight")
     plt.close(fig)
     return out_path
+
+
+def animate_trajectory(est: np.ndarray, gt: Optional[np.ndarray] = None,
+                       map_pts: Optional[np.ndarray] = None,
+                       map_created_idx: Optional[np.ndarray] = None,
+                       out_path: str = "trajectory.gif",
+                       max_anim_frames: int = 60, fps: int = 10) -> str:
+    """Incremental GIF of the growing trajectory + map cloud — the offline
+    equivalent of the reference's live demo GIFs (README.md:216-234): the
+    estimated path grows frame by frame (GT-scale-aligned, like the live
+    PCL view, run_vo.cpp:256-262), the camera marker tracks the newest
+    pose, and map points appear from the frame that triangulated them
+    (``map_created_idx``; culled points simply never show).
+
+    Renders a top-down (x-z) view, subsampled to at most
+    ``max_anim_frames`` animation frames. Returns the written path.
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from PIL import Image
+
+    est = np.asarray(est)
+    pe = est[:, :3, 3]
+    n = len(pe)
+    s = 1.0
+    if gt is not None and n > 2:
+        from monocular_visual_odometry_tpu.utils.metrics import align_scale
+        s = align_scale(est, np.asarray(gt)[:n])
+    origin = pe[0] if n else np.zeros(3)
+    pe = (pe - origin) * s
+    pg = None
+    if gt is not None:
+        pg = np.asarray(gt)[:, :3, 3]
+        pg = pg - pg[0]
+    mp = ((np.asarray(map_pts) - origin) * s
+          if map_pts is not None and len(map_pts) else None)
+    created = (np.asarray(map_created_idx)
+               if map_created_idx is not None else None)
+
+    # fixed axes over the whole run so the view does not jump
+    allx = [pe[:, 0]]
+    allz = [pe[:, 2]]
+    if pg is not None:
+        allx.append(pg[:, 0]); allz.append(pg[:, 2])
+    if mp is not None:
+        allx.append(mp[:, 0]); allz.append(mp[:, 2])
+    ax_min = np.array([np.concatenate(allx).min(), np.concatenate(allz).min()])
+    ax_max = np.array([np.concatenate(allx).max(), np.concatenate(allz).max()])
+    pad = 0.05 * (ax_max - ax_min + 1e-6)
+
+    step = max(n // max_anim_frames, 1)
+    idxs = list(range(0, n, step)) + ([n - 1] if (n - 1) % step else [])
+    images = []
+    fig, ax = plt.subplots(figsize=(6, 5))
+    for i in idxs:
+        ax.clear()
+        if mp is not None:
+            vis = mp if created is None else mp[(created >= 0) & (created <= i)]
+            if len(vis):
+                ax.scatter(vis[:, 0], vis[:, 2], s=2, c="#bbbbbb")
+        if pg is not None:
+            ax.plot(pg[:, 0], pg[:, 2], "-", c="#2ca02c", lw=1.0, alpha=0.6,
+                    label="ground truth")
+        ax.plot(pe[: i + 1, 0], pe[: i + 1, 2], "-", c="#1f77b4", lw=1.4,
+                label="estimated")
+        ax.scatter([pe[i, 0]], [pe[i, 2]], s=70, c="#d62728", marker="x")
+        ax.set_xlim(ax_min[0] - pad[0], ax_max[0] + pad[0])
+        ax.set_ylim(ax_min[1] - pad[1], ax_max[1] + pad[1])
+        ax.set_title(f"frame {i + 1}/{n}")
+        ax.legend(fontsize=8, loc="upper left")
+        fig.canvas.draw()
+        buf = np.asarray(fig.canvas.buffer_rgba())
+        images.append(Image.fromarray(buf[..., :3].copy()))
+    plt.close(fig)
+
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    images[0].save(out_path, save_all=True, append_images=images[1:],
+                   duration=int(1000 / fps), loop=0)
+    return out_path

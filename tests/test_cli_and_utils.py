@@ -70,6 +70,27 @@ def test_viz_exports(tmp_path):
     assert os.path.exists(tmp_path / "f.png")
 
 
+def test_animated_trajectory_export(tmp_path):
+    """Incremental GIF (the reference demo-GIF analogue, README.md:216-234):
+    multi-frame, map points appear no earlier than their creation frame."""
+    from PIL import Image
+
+    from monocular_visual_odometry_tpu.viz import trajectory
+
+    n = 24
+    est = np.tile(np.eye(4), (n, 1, 1))
+    est[:, 0, 3] = np.linspace(0, 2, n)
+    est[:, 2, 3] = np.linspace(0, 3, n)
+    mp = np.random.default_rng(0).uniform(-1, 4, (50, 3))
+    created = np.random.default_rng(1).integers(0, n, 50)
+    p = trajectory.animate_trajectory(
+        est, est, mp, created, out_path=str(tmp_path / "t.gif"),
+        max_anim_frames=12)
+    im = Image.open(p)
+    assert im.n_frames >= 12
+    assert os.path.getsize(p) > 5000
+
+
 @pytest.mark.slow
 def test_cli_end_to_end(tmp_path):
     """Drive the actual CLI process on a short synthetic sequence."""

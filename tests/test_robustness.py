@@ -1,0 +1,86 @@
+"""Robustness matrix: the full 150-frame VO+BA pipeline under adversarial
+photometric perturbations (sensor noise, motion blur, exposure drift, low
+contrast).
+
+This is the axis the reference itself fails on — it documents that TUM
+fr1 'performances are bad' because real-image feature statistics starve
+its frontend (/root/reference/README.md:212). The clean synthetic
+renderer is friendly to FAST; these tests gate that accuracy survives
+when the frames are pushed toward real-sensor statistics. Budgets were
+set from the measured matrix in docs/ROBUSTNESS.md (profile_robustness.py)
+with ~60% headroom. Marked slow (five 150-frame CPU runs).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from monocular_visual_odometry_tpu.data import synthetic as syn
+from monocular_visual_odometry_tpu.models import state as S
+from monocular_visual_odometry_tpu.models.vo import VOEngine, run_sequence
+from monocular_visual_odometry_tpu.utils import metrics
+from monocular_visual_odometry_tpu.utils.config import VOConfig
+
+N = 150
+
+
+@pytest.fixture(scope="module")
+def clean_sequence():
+    planes = syn.default_scene(0)
+    K = np.array([[615.0, 0, 320], [0, 615, 240], [0, 0, 1]])
+    gt = syn.make_trajectory(N, seed=0, translation_step=0.05)
+    frames = np.stack([syn.render_frame(gt[i], planes, K).astype(np.float32)
+                       for i in range(N)])
+    return frames, gt
+
+
+def _run(frames):
+    cfg = VOConfig()
+    cam = VOEngine(cfg, 480, 640).cam
+    final, outs = run_sequence(cfg, cam, S.init_state(cfg),
+                               jnp.asarray(frames), height=480, width=640)
+    return final, np.asarray(outs.T_w_c)
+
+
+# (kind, severity, ate budget %, end-drift budget %) — measured values in
+# docs/ROBUSTNESS.md are ~2.5% / ~6-8%; budgets carry headroom
+MATRIX = [
+    ("noise", 10.0, 4.0, 12.0),       # high-gain CMOS noise
+    ("blur", 7.0, 4.0, 10.0),         # 7px lateral motion blur
+    ("exposure", 1.0, 4.0, 12.0),     # auto-exposure hunting
+    ("low_contrast", 0.5, 4.5, 13.0), # flat lighting / weak texture
+]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("kind,sev,ate_budget,drift_budget", MATRIX)
+def test_pipeline_survives_perturbation(clean_sequence, kind, sev,
+                                        ate_budget, drift_budget):
+    clean, gt = clean_sequence
+    frames = syn.perturb_frames(clean, kind, sev)
+    final, est = _run(frames)
+    assert np.isfinite(est).all()
+    assert int(np.asarray(final.stage)) == S.STAGE_TRACKING, (kind, sev)
+    length = metrics.trajectory_length(gt)
+    ate = metrics.ate_rmse(est, gt, "sim3")
+    drift = metrics.drift_curve(est, gt)[-1]
+    assert ate < ate_budget / 100 * length, (kind, sev, ate, length)
+    assert drift < drift_budget / 100 * length, (kind, sev, drift, length)
+
+
+@pytest.mark.slow
+def test_severe_low_contrast_degrades_gracefully(clean_sequence):
+    """Contrast x0.25 starves FAST at threshold 20 (median 185 keypoints,
+    7 PnP inliers) — the pipeline must degrade, not diverge: still in
+    TRACKING, finite poses, ATE bounded. (Dropping the threshold to 10
+    restores full accuracy — see the sensitivity note in
+    docs/ROBUSTNESS.md.)"""
+    clean, gt = clean_sequence
+    frames = syn.perturb_frames(clean, "low_contrast", 0.25)
+    final, est = _run(frames)
+    assert np.isfinite(est).all()
+    assert int(np.asarray(final.stage)) == S.STAGE_TRACKING
+    length = metrics.trajectory_length(gt)
+    ate = metrics.ate_rmse(est, gt, "sim3")
+    assert ate < 0.20 * length, (ate, length)
