@@ -34,12 +34,17 @@ def main() -> int:
     rng = np.random.default_rng(0)
 
     def bench(fn, args, reps=20):
+        # pipelined timing (reps back-to-back, one sync): per-call sync on
+        # a tunnel-attached chip costs ~20 ms of RPC round trip that
+        # swamps a ~1 ms kernel — the r2 'parity' verdict was actually
+        # measuring the tunnel on both sides
         jax.block_until_ready(fn(*args))
         ts = []
-        for _ in range(reps):
+        for _ in range(3):
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(*args))
-            ts.append(time.perf_counter() - t0)
+            outs = [fn(*args) for _ in range(reps)]
+            jax.block_until_ready(outs[-1])
+            ts.append((time.perf_counter() - t0) / reps)
         return float(np.median(ts)) * 1e3
 
     @jax.jit
@@ -63,6 +68,8 @@ def main() -> int:
         v2 = np.ones(K2, bool)
         a = [jnp.asarray(x) for x in (d1, d2, v1, v2, k1, k2)]
         t_xla = bench(xla_path, a)
+        print(json.dumps({"progress": f"xla {K1}x{K2}", "ms": round(t_xla, 3)}),
+              flush=True)
         p1 = M.unpack_pm1(a[0])
         p2 = M.unpack_pm1(a[1])
         t_pal = bench(pallas_path, (p1, a[4], a[2], p2, a[5], a[3]))
