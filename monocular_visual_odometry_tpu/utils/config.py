@@ -138,7 +138,18 @@ class BAConfig:
     window: int = 5                      # num_prev_frames_to_opti_by_ba (<=20)
     information_matrix: tuple = (1.0, 0.0, 0.0, 1.0)
     fix_map_points: bool = True          # is_ba_fix_map_points
-    iterations: int = 20                 # LM iterations (g2o used 50; our LM converges faster)
+    iterations: int = 12                 # LM iterations (g2o used 50). The
+                                         # windowed LM starts at the tracked
+                                         # pose and converges in <=8-12:
+                                         # on the 150-frame benchmark CPU
+                                         # measures iters 8/12/20 identical
+                                         # (ATE 1.58-1.59%); on the TPU chip
+                                         # 12 is the knee (192.8 fps, ATE
+                                         # 1.72%, BA improving over no-BA)
+                                         # while 10 under-converges (ATE
+                                         # 1.89%, BA slightly worse than
+                                         # no-BA) and 20 costs 23 fps for
+                                         # 0.1% ATE (docs/PARITY.md)
     huber_delta: float = 3.0             # robust kernel width (pixels·sqrt(info))
     init_lambda: float = 1e-3
     keyframe_window: bool = True         # window = current frame + last W-1
