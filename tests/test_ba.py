@@ -170,3 +170,72 @@ def test_huber_downweights_outlier_observations():
     T_opt, _, _ = BA.ba_solve(cfg, cam, prob)
     after = _pose_errs(T_opt, T_gt)
     assert after.max() < 0.02, after
+
+
+class TestKeyframeWindowGather:
+    """gather_window in keyframe-window mode (cfg.ba.keyframe_window):
+    slot selection must pick the current frame + the newest keyframes,
+    never duplicate a slot, and mask missing keyframes."""
+
+    def _state(self, cfg, frame_idx, kf_frames):
+        from monocular_visual_odometry_tpu.models import state as S
+
+        st = S.init_state(cfg)
+        F = cfg.map.frame_buffer
+        ring = st.ring
+        for i in range(frame_idx):
+            pose = np.eye(4, dtype=np.float32)
+            pose[0, 3] = float(i)   # recognizable per-frame pose
+            ring = ring.push(i % F, jnp.asarray(pose),
+                             st.ring.kpts[0], st.ring.mp_idx[0],
+                             is_kf=(i in kf_frames))
+        return st._replace(ring=ring,
+                           frame_idx=jnp.asarray(frame_idx, jnp.int32))
+
+    def _gathered_x(self, prob):
+        """x-translation of each window pose (frame id by construction).
+        T_c_w = inv(T_w_c) so x is negated."""
+        return -np.asarray(prob.T_c_w)[:, 0, 3]
+
+    def test_picks_current_plus_newest_keyframes(self):
+        import dataclasses
+
+        cfg = VOConfig()
+        cfg = cfg.replace(ba=dataclasses.replace(cfg.ba, keyframe_window=True,
+                                                 window=4))
+        # frames 0..9; keyframes at 0, 3, 6, 8 (current frame is 9)
+        st = self._state(cfg, frame_idx=10, kf_frames={0, 3, 6, 8})
+        prob, slots = BA.gather_window(cfg, st)
+        ids = self._gathered_x(prob)
+        assert np.asarray(prob.frame_valid).all()
+        # slot 0 = current frame 9; then keyframes newest-first 8, 6, 3
+        assert list(ids.astype(int)) == [9, 8, 6, 3]
+        assert len(set(np.asarray(slots).tolist())) == len(np.asarray(slots))
+
+    def test_current_frame_is_keyframe_not_duplicated(self):
+        import dataclasses
+
+        cfg = VOConfig()
+        cfg = cfg.replace(ba=dataclasses.replace(cfg.ba, keyframe_window=True,
+                                                 window=3))
+        # current frame 5 is itself a keyframe
+        st = self._state(cfg, frame_idx=6, kf_frames={2, 4, 5})
+        prob, slots = BA.gather_window(cfg, st)
+        ids = self._gathered_x(prob)
+        assert list(ids.astype(int)) == [5, 4, 2]
+        assert len(set(np.asarray(slots).tolist())) == len(np.asarray(slots))
+
+    def test_too_few_keyframes_masks_slots(self):
+        import dataclasses
+
+        cfg = VOConfig()
+        cfg = cfg.replace(ba=dataclasses.replace(cfg.ba, keyframe_window=True,
+                                                 window=5))
+        st = self._state(cfg, frame_idx=3, kf_frames={0})
+        prob, slots = BA.gather_window(cfg, st)
+        valid = np.asarray(prob.frame_valid)
+        assert valid[0]            # current frame
+        assert valid[1]            # the one keyframe
+        assert not valid[2:].any() # no other keyframes exist
+        ids = self._gathered_x(prob)
+        assert int(ids[0]) == 2 and int(ids[1]) == 0
