@@ -429,6 +429,20 @@ def detect_and_describe(
     """
     del n_candidates
     H, W = img.shape
+    # Adaptive FAST threshold (TPU-first robustness; the reference keeps
+    # cv::ORB's fixed fastThreshold, feature_match.cpp:25). A fixed
+    # intensity threshold assumes photographic contrast; under a contrast
+    # squeeze the detector starves and tracking collapses (measured:
+    # 185/1024 keypoints, 7 PnP inliers at a 4x squeeze —
+    # docs/ROBUSTNESS.md). FAST's corner test is affine-covariant in the
+    # gray levels, so scale the threshold with the frame's measured
+    # contrast instead. Capped at 1.0: any frame with std >= 60 gray
+    # levels (normal exposure) keeps the configured threshold
+    # bit-identically; floored at 0.15 so a flat frame cannot drive the
+    # threshold into the noise. One [H,W] reduction — free next to the
+    # atlas passes.
+    contrast = jnp.std(img)
+    threshold = threshold * jnp.clip(contrast * (1.0 / 60.0), 0.15, 1.0)
     # NOTE: the frontend inherits the pipeline-wide HIGHEST matmul
     # precision (ops/precision.py). Scoping the pyramid-resize matmuls
     # back to the MXU default was A/B'd on-chip and rejected: ATE

@@ -46,10 +46,11 @@ def _run(frames):
 # (kind, severity, ate budget %, end-drift budget %) — measured values in
 # docs/ROBUSTNESS.md are ~2.5% / ~6-8%; budgets carry headroom
 MATRIX = [
-    ("noise", 10.0, 4.0, 12.0),       # high-gain CMOS noise
-    ("blur", 7.0, 4.0, 10.0),         # 7px lateral motion blur
-    ("exposure", 1.0, 4.0, 12.0),     # auto-exposure hunting
-    ("low_contrast", 0.5, 4.5, 13.0), # flat lighting / weak texture
+    ("noise", 10.0, 4.5, 12.0),        # high-gain CMOS noise
+    ("blur", 7.0, 4.0, 10.0),          # 7px lateral motion blur
+    ("exposure", 1.0, 4.0, 12.0),      # auto-exposure hunting
+    ("low_contrast", 0.5, 4.5, 13.0),  # flat lighting / weak texture
+    ("low_contrast", 0.25, 4.5, 13.0), # 4x squeeze: adaptive FAST threshold
 ]
 
 
@@ -69,18 +70,30 @@ def test_pipeline_survives_perturbation(clean_sequence, kind, sev,
     assert drift < drift_budget / 100 * length, (kind, sev, drift, length)
 
 
-@pytest.mark.slow
-def test_severe_low_contrast_degrades_gracefully(clean_sequence):
-    """Contrast x0.25 starves FAST at threshold 20 (median 185 keypoints,
-    7 PnP inliers) — the pipeline must degrade, not diverge: still in
-    TRACKING, finite poses, ATE bounded. (Dropping the threshold to 10
-    restores full accuracy — see the sensitivity note in
-    docs/ROBUSTNESS.md.)"""
-    clean, gt = clean_sequence
-    frames = syn.perturb_frames(clean, "low_contrast", 0.25)
-    final, est = _run(frames)
-    assert np.isfinite(est).all()
-    assert int(np.asarray(final.stage)) == S.STAGE_TRACKING
-    length = metrics.trajectory_length(gt)
-    ate = metrics.ate_rmse(est, gt, "sim3")
-    assert ate < 0.20 * length, (ate, length)
+def test_adaptive_threshold_rescues_low_contrast_detection():
+    """The adaptive FAST threshold (docs/ROBUSTNESS.md) must keep the
+    detector saturated under a 4x contrast squeeze — the starvation mode
+    that produced median 185/1024 keypoints and 7 PnP inliers at the
+    reference's fixed threshold 20 — while leaving a full-contrast frame
+    bit-identical (std ~91 >= the 60-gray-level cap)."""
+    from monocular_visual_odometry_tpu.ops.features import detect_and_describe
+
+    planes = syn.default_scene(0)
+    K = np.array([[615.0, 0, 320], [0, 615, 240], [0, 0, 1]])
+    gt = syn.make_trajectory(1, seed=0, translation_step=0.05)
+    img = syn.render_frame(gt[0], planes, K).astype(np.float32)
+
+    full = detect_and_describe(jnp.asarray(img))
+    squeezed = img.mean() + 0.25 * (img - img.mean())
+    low = detect_and_describe(jnp.asarray(squeezed))
+
+    n_full = int(np.asarray(full.valid).sum())
+    n_low = int(np.asarray(low.valid).sum())
+    assert n_full >= 1000, n_full
+    # before the adaptive threshold this was ~185; require near-saturation
+    assert n_low >= 0.9 * n_full, (n_low, n_full)
+
+    # full-contrast path is unchanged: threshold cap at 1.0 means the same
+    # keypoints as an explicit fixed-threshold call
+    ref = detect_and_describe(jnp.asarray(img), threshold=20.0)
+    np.testing.assert_array_equal(np.asarray(full.kpts), np.asarray(ref.kpts))
