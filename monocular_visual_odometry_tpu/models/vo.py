@@ -65,6 +65,21 @@ def _tree_select(pred, a, b):
         jnp.reshape(pred, (1,) * x.ndim) if x.ndim else pred, x, y), a, b)
 
 
+def scatter_links(base: jnp.ndarray, train_idx: jnp.ndarray,
+                  values: jnp.ndarray) -> jnp.ndarray:
+    """Scatter per-match values into per-keypoint slots, collision-safe.
+
+    ``train_idx`` carries an argmin entry for EVERY query slot — dedup
+    *losers* included (ops.matching.match_features) — so duplicate indices
+    are routine, and XLA leaves duplicate-index ``.set`` order unspecified:
+    a loser's sentinel (-1 link / False flag) could clobber the winner's
+    value nondeterministically. Scatter-MAX is order-free because winners'
+    values dominate the sentinel (links >= -1; bool max == OR). Reference
+    semantics: the PtConn graph, pushCurrPointsToMap_ vo.cpp:541-574.
+    """
+    return base.at[train_idx].max(values, mode="drop")
+
+
 # ---------------------------------------------------------------------------
 # stage: first frame
 # ---------------------------------------------------------------------------
@@ -115,6 +130,7 @@ def _step_init_impl(cfg: VOConfig, cam: Camera, st: S.VOState, img: jnp.ndarray)
         max_pixel_dist=cfg.match.max_pixel_dist_init,
         xiang_gao_ratio=cfg.match.xiang_gao_match_ratio,
         lowe_ratio=cfg.match.lowe_dist_ratio,
+        ambiguity_ratio=cfg.match.method3_ambiguity_ratio,
     )
     uv1 = ref.kpts[m.query_idx]
     uv2 = feats.kpts[m.train_idx]
@@ -161,9 +177,8 @@ def _step_init_impl(cfg: VOConfig, cam: Camera, st: S.VOState, img: jnp.ndarray)
                                          insert_mask, frame_idx=st.frame_idx)
 
     k = cfg.orb.max_keypoints
-    curr_mp = jnp.full(k, -1, jnp.int32)
-    curr_mp = curr_mp.at[m.train_idx].set(
-        jnp.where(insert_mask, slots, -1), mode="drop")
+    curr_mp = scatter_links(jnp.full(k, -1, jnp.int32), m.train_idx,
+                            jnp.where(insert_mask, slots, -1))
     pose_out = jnp.where(is_good, T_w_c2, st.ref_pose)
 
     ring = st.ring.push(st.frame_idx % cfg.map.frame_buffer, pose_out,
@@ -185,8 +200,7 @@ def _step_init_impl(cfg: VOConfig, cam: Camera, st: S.VOState, img: jnp.ndarray)
     new = _tree_select(is_good, succeeded, unchanged)
     new = new._replace(frame_idx=st.frame_idx + 1, ring=ring, rng=rng)
 
-    kpt_inlier = jnp.zeros(k, bool).at[m.train_idx].set(
-        good & is_good, mode="drop")
+    kpt_inlier = scatter_links(jnp.zeros(k, bool), m.train_idx, good & is_good)
     out = S.StepOutput(
         T_w_c=pose_out, stage=new.stage, n_keypoints=feats.n_valid,
         n_matches=m.n_valid, n_inliers=n_good,
@@ -207,9 +221,16 @@ def _step_track_impl(cfg: VOConfig, cam: Camera, st: S.VOState, img: jnp.ndarray
     feats = features_from_config(img, cfg.orb)
     rng, k_pnp = jax.random.split(st.rng)
 
-    # frustum scan with the previous pose (getMappointsInCurrentView_,
-    # vo.cpp:16-49) — vmapped over the whole pool
-    T_c_w_prev = lie.inv_T(st.T_w_c)
+    # frustum scan pose (getMappointsInCurrentView_, vo.cpp:16-49, vmapped
+    # over the whole pool). The reference projects with the stale previous
+    # pose; with the constant-velocity model we PREDICT the current pose,
+    # which keeps the radius gate centered under fast rotation (see
+    # TrackingConfig.use_motion_model).
+    if cfg.tracking.use_motion_model:
+        T_proj = st.T_w_c @ st.last_rel
+    else:
+        T_proj = st.T_w_c
+    T_c_w_prev = lie.inv_T(T_proj)
     p_cam = lie.transform_points(T_c_w_prev, st.map.pts)
     proj = cam2pixel(p_cam, cam)
     candidates = st.map.valid & (p_cam[:, 2] > 0) & in_frame(proj, height, width)
@@ -223,6 +244,7 @@ def _step_track_impl(cfg: VOConfig, cam: Camera, st: S.VOState, img: jnp.ndarray
         max_pixel_dist=cfg.match.max_pixel_dist_pnp,
         xiang_gao_ratio=cfg.match.xiang_gao_match_ratio,
         lowe_ratio=cfg.match.lowe_dist_ratio,
+        ambiguity_ratio=cfg.match.method3_ambiguity_ratio,
     )
     uv = feats.kpts[m.train_idx]
 
@@ -245,9 +267,8 @@ def _step_track_impl(cfg: VOConfig, cam: Camera, st: S.VOState, img: jnp.ndarray
     new_map = st.map._replace(visible=visible, matched=st.map.matched + matched_add)
     k = cfg.orb.max_keypoints
     map_slot = m.query_idx  # query side IS the map pool index
-    curr_mp = jnp.full(k, -1, jnp.int32)
-    curr_mp = curr_mp.at[m.train_idx].set(
-        jnp.where(res.inliers & ok, map_slot, -1), mode="drop")
+    curr_mp = scatter_links(jnp.full(k, -1, jnp.int32), m.train_idx,
+                            jnp.where(res.inliers & ok, map_slot, -1))
 
     # keyframe rule (checkLargeMoveForAddKeyFrame_, vo.cpp:247-265)
     need_kf = ok & (
@@ -257,11 +278,16 @@ def _step_track_impl(cfg: VOConfig, cam: Camera, st: S.VOState, img: jnp.ndarray
 
     ring = st.ring.push(st.frame_idx % cfg.map.frame_buffer, pose, feats.kpts,
                         curr_mp, is_kf=need_kf)
+    # constant-velocity update: measured frame-to-frame motion on success,
+    # identity on failure (do not extrapolate a frozen pose)
+    eye = jnp.eye(4, dtype=jnp.float32)
+    last_rel = jnp.where(ok, lie.relative_T(st.T_w_c, pose), eye)
     new = st._replace(
-        frame_idx=st.frame_idx + 1, T_w_c=pose, map=new_map, ring=ring, rng=rng
+        frame_idx=st.frame_idx + 1, T_w_c=pose, map=new_map, ring=ring,
+        last_rel=last_rel, rng=rng
     )
-    kpt_inlier = jnp.zeros(k, bool).at[m.train_idx].set(
-        res.inliers & ok, mode="drop")
+    kpt_inlier = scatter_links(jnp.zeros(k, bool), m.train_idx,
+                               res.inliers & ok)
     out = S.StepOutput(
         T_w_c=pose, stage=new.stage, n_keypoints=feats.n_valid,
         n_matches=m.n_valid, n_inliers=res.n_inliers,
@@ -292,6 +318,7 @@ def _keyframe_update_impl(cfg: VOConfig, cam: Camera, st: S.VOState,
         max_pixel_dist=cfg.match.max_pixel_dist_triang,
         xiang_gao_ratio=cfg.match.xiang_gao_match_ratio,
         lowe_ratio=cfg.match.lowe_dist_ratio,
+        ambiguity_ratio=cfg.match.method3_ambiguity_ratio,
     )
     uv1 = ref.kpts[m.query_idx]
     uv2 = feats.kpts[m.train_idx]
@@ -332,8 +359,7 @@ def _keyframe_update_impl(cfg: VOConfig, cam: Camera, st: S.VOState,
                                          frame_idx=st.frame_idx - 1)
 
     link_target = jnp.where(reuse, ref_links, jnp.where(fresh, slots, -1))
-    curr_mp = curr_mp.at[m.train_idx].set(
-        jnp.maximum(curr_mp[m.train_idx], link_target), mode="drop")
+    curr_mp = scatter_links(curr_mp, m.train_idx, link_target)
 
     # map culling (optimizeMap_, vo.cpp:488-526)
     T_c_w = lie.inv_T(st.T_w_c)
