@@ -50,6 +50,56 @@ def _multiscale_texture(rng: np.random.Generator, size: int = 1024) -> np.ndarra
     return np.clip(tex, 0.0, 1.0)
 
 
+def _pink_texture(rng: np.random.Generator, size: int = 1024,
+                  beta: float = 1.2) -> np.ndarray:
+    """Natural-image texture: random phase with a 1/f^beta amplitude
+    spectrum (the canonical natural-image statistic). Smooth gradients,
+    few sharp corners — the opposite regime from _multiscale_texture and
+    the statistics the reference's frontend starves on (TUM fr1,
+    /root/reference/README.md:212). Returns [size,size] float in [0,1]."""
+    f = np.fft.fftfreq(size)
+    fx, fy = np.meshgrid(f, f)
+    r = np.sqrt(fx * fx + fy * fy)
+    r[0, 0] = 1.0 / size
+    amp = r ** (-beta)
+    phase = rng.uniform(0.0, 2.0 * np.pi, (size, size))
+    img = np.real(np.fft.ifft2(amp * np.exp(1j * phase)))
+    img = (img - img.min()) / (np.ptp(img) + 1e-12)
+    return img
+
+
+def _repeated_texture(rng: np.random.Generator, size: int = 1024,
+                      period: int = 64) -> np.ndarray:
+    """EXACT periodic tiling of one random high-contrast patch — every
+    corner recurs at every ``period`` texels, so its BRIEF descriptor
+    recurs too: an aliasing trap for any nearest-descriptor matcher
+    (brick walls / tiled floors / curtain walls in real footage).
+    Returns [size,size] float in [0,1]."""
+    tile = np.zeros((period, period), dtype=np.float64)
+    for cell in (4, 8, 16):
+        n = max(period // cell, 1)
+        tile += np.kron(rng.uniform(0, 1, (n, n)),
+                        np.ones((cell, cell)))[:period, :period]
+    tile /= 3.0
+    tile = 0.15 + 0.7 * (tile > 0.5) + 0.15 * tile
+    reps = size // period + 1
+    return np.clip(np.tile(tile, (reps, reps))[:size, :size], 0.0, 1.0)
+
+
+def _tex_lookup(tex: np.ndarray, tu: np.ndarray, tv: np.ndarray) -> np.ndarray:
+    """Bilinear wrap-around texture fetch (tu/tv in texels)."""
+    th, tw = tex.shape
+    iu = np.mod(tu, tw - 1)
+    iv = np.mod(tv, th - 1)
+    i0 = np.floor(iv).astype(int)
+    j0 = np.floor(iu).astype(int)
+    fv, fu = iv - i0, iu - j0
+    return (tex[i0, j0] * (1 - fu) * (1 - fv)
+            + tex[i0, j0 + 1] * fu * (1 - fv)
+            + tex[i0 + 1, j0] * (1 - fu) * fv
+            + tex[i0 + 1, j0 + 1] * fu * fv)
+
+
 @dataclass
 class Plane:
     """Textured plane: point p0, unit normal n, in-plane axes (u, v), and a
@@ -61,6 +111,88 @@ class Plane:
     v: np.ndarray
     tex: np.ndarray
     scale: float = 100.0
+
+    def intersect(self, origin: np.ndarray, dirs: np.ndarray) -> np.ndarray:
+        """Ray-plane hit distances, [P] (inf where miss)."""
+        denom = self.n @ dirs
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t_hit = ((self.p0 - origin) @ self.n) / denom
+        t_hit = np.where((np.abs(denom) > 1e-9) & (t_hit > 0.05), t_hit, np.inf)
+        return t_hit
+
+    def shade(self, X: np.ndarray) -> np.ndarray:
+        """Texture color at world hit points X [3, Pv]."""
+        rel = X - self.p0[:, None]
+        return _tex_lookup(self.tex, (self.u @ rel) * self.scale,
+                           (self.v @ rel) * self.scale)
+
+
+@dataclass
+class Sphere:
+    """Textured sphere — a smooth OCCLUDING object: its silhouette sweeps
+    across the background as the camera moves, creating the parallax
+    discontinuities (appearing/disappearing landmarks, depth edges) that a
+    plane-only scene never produces."""
+
+    center: np.ndarray
+    radius: float
+    tex: np.ndarray
+    scale: float = 200.0   # texels per radian
+
+    def intersect(self, origin: np.ndarray, dirs: np.ndarray) -> np.ndarray:
+        oc = (origin - self.center)[:, None]                      # [3,1]
+        a = np.sum(dirs * dirs, axis=0)
+        b = 2.0 * np.sum(oc * dirs, axis=0)
+        c = float(oc[:, 0] @ oc[:, 0]) - self.radius * self.radius
+        disc = b * b - 4 * a * c
+        with np.errstate(invalid="ignore"):
+            sq = np.sqrt(np.maximum(disc, 0.0))
+            t0 = (-b - sq) / (2 * a)
+            t1 = (-b + sq) / (2 * a)
+        t_hit = np.where(t0 > 0.05, t0, t1)
+        return np.where((disc > 0) & (t_hit > 0.05), t_hit, np.inf)
+
+    def shade(self, X: np.ndarray) -> np.ndarray:
+        d = X - self.center[:, None]
+        d = d / (np.linalg.norm(d, axis=0, keepdims=True) + 1e-12)
+        theta = np.arctan2(d[1], d[0])
+        phi = np.arccos(np.clip(d[2], -1, 1))
+        return _tex_lookup(self.tex, theta * self.scale, phi * self.scale)
+
+
+@dataclass
+class Box:
+    """Textured axis-aligned box — a hard OCCLUDING object with sharp
+    silhouette edges (the worst-case parallax discontinuity: background
+    landmarks vanish behind it abruptly)."""
+
+    p_min: np.ndarray
+    p_max: np.ndarray
+    tex: np.ndarray
+    scale: float = 150.0   # texels per world unit
+
+    def intersect(self, origin: np.ndarray, dirs: np.ndarray) -> np.ndarray:
+        with np.errstate(divide="ignore", invalid="ignore"):
+            inv = 1.0 / dirs                                      # [3,P]
+            t_lo = (self.p_min[:, None] - origin[:, None]) * inv
+            t_hi = (self.p_max[:, None] - origin[:, None]) * inv
+        t_near = np.max(np.minimum(t_lo, t_hi), axis=0)
+        t_far = np.min(np.maximum(t_lo, t_hi), axis=0)
+        hit = (t_near <= t_far) & (t_far > 0.05)
+        t_hit = np.where(t_near > 0.05, t_near, t_far)
+        return np.where(hit, t_hit, np.inf)
+
+    def shade(self, X: np.ndarray) -> np.ndarray:
+        # face-dependent planar UV: drop the dominant-normal axis
+        ctr = (self.p_min + self.p_max) / 2.0
+        half = (self.p_max - self.p_min) / 2.0 + 1e-12
+        rel = (X - ctr[:, None]) / half[:, None]
+        axis = np.argmax(np.abs(rel), axis=0)                     # [Pv]
+        u_axis = (axis + 1) % 3
+        v_axis = (axis + 2) % 3
+        cols = np.arange(X.shape[1])
+        return _tex_lookup(self.tex, X[u_axis, cols] * self.scale,
+                           X[v_axis, cols] * self.scale)
 
 
 def default_scene(seed: int = 0) -> list[Plane]:
@@ -82,6 +214,76 @@ def default_scene(seed: int = 0) -> list[Plane]:
         Plane(p0=np.array([-2.5, 0.0, 0.0]), n=x, u=z, v=y, tex=mk(), scale=90.0),
         # right wall at x=2.5
         Plane(p0=np.array([2.5, 0.0, 0.0]), n=-x, u=z, v=y, tex=mk(), scale=90.0),
+    ]
+
+
+def adversarial_scene(seed: int = 100) -> list:
+    """Scene family B — built to be EVALUATED on, never tuned on
+    (VERDICT r3 missing #1). Three failure axes the friendly benchmark
+    scene lacks, matching where real footage breaks VO frontends:
+
+    - **natural-image statistics**: walls/floor carry 1/f^beta spectra
+      (_pink_texture) instead of binarized multiscale blobs — weak, sparse
+      FAST responses;
+    - **repeated texture**: the far wall is an EXACT periodic tiling
+      (_repeated_texture) — descriptors recur every period, baiting the
+      matcher into aliased correspondences;
+    - **non-planar occluding geometry**: boxes and spheres at 1.5-5 units
+      create parallax discontinuities — background landmarks appear and
+      vanish abruptly at silhouette edges as the camera translates.
+
+    Uses a DIFFERENT seed default than default_scene so even the texture
+    draws are out-of-family.
+    """
+    rng = np.random.default_rng(seed)
+    z = np.array([0.0, 0.0, 1.0])
+    x = np.array([1.0, 0.0, 0.0])
+    y = np.array([0.0, 1.0, 0.0])
+    return [
+        # far wall: exact-repetition tiling (matcher aliasing trap)
+        Plane(p0=np.array([0.0, 0.0, 9.0]), n=-z, u=x, v=y,
+              tex=_repeated_texture(rng, period=64), scale=80.0),
+        # floor and ceiling: natural 1/f spectra (FAST-starving)
+        Plane(p0=np.array([0.0, 1.3, 0.0]), n=-y, u=x, v=z,
+              tex=_pink_texture(rng), scale=110.0),
+        Plane(p0=np.array([0.0, -1.6, 0.0]), n=y, u=x, v=z,
+              tex=_pink_texture(rng), scale=110.0),
+        # side walls: natural spectra with different beta (softer still)
+        Plane(p0=np.array([-2.8, 0.0, 0.0]), n=x, u=z, v=y,
+              tex=_pink_texture(rng, beta=1.5), scale=95.0),
+        Plane(p0=np.array([2.8, 0.0, 0.0]), n=-x, u=z, v=y,
+              tex=_pink_texture(rng, beta=1.5), scale=95.0),
+        # occluders: textured boxes + spheres across the depth range
+        Box(p_min=np.array([-1.6, 0.1, 2.6]), p_max=np.array([-0.9, 1.3, 3.4]),
+            tex=_multiscale_texture(rng), scale=220.0),
+        Box(p_min=np.array([0.7, -0.4, 4.2]), p_max=np.array([1.5, 1.3, 5.1]),
+            tex=_pink_texture(rng, beta=0.9), scale=260.0),
+        Sphere(center=np.array([-0.2, -0.7, 3.6]), radius=0.45,
+               tex=_multiscale_texture(rng), scale=260.0),
+        Sphere(center=np.array([1.9, 0.4, 6.5]), radius=0.7,
+               tex=_pink_texture(rng, beta=1.0), scale=300.0),
+        Box(p_min=np.array([-0.5, 0.6, 5.8]), p_max=np.array([0.4, 1.3, 6.6]),
+            tex=_repeated_texture(rng, period=48), scale=240.0),
+    ]
+
+
+def planar_scene(seed: int = 200) -> list:
+    """Scene family C — a single dominant plane filling the view: the
+    regime where two-view initialization MUST go through the homography
+    path (the degenerate case for E; /root/reference/src/geometry/
+    motion_estimation.cpp:90-156 exists exactly for this). A frontal
+    textured wall at z=6; side surfaces are pushed outside the FOV of the
+    benchmark trajectory so >95% of pixels see the one plane."""
+    rng = np.random.default_rng(seed)
+    z = np.array([0.0, 0.0, 1.0])
+    x = np.array([1.0, 0.0, 0.0])
+    y = np.array([0.0, 1.0, 0.0])
+    return [
+        Plane(p0=np.array([0.0, 0.0, 6.0]), n=-z, u=x, v=y,
+              tex=_multiscale_texture(rng), scale=90.0),
+        # distant floor strip, mostly out of frame (keeps rays bounded)
+        Plane(p0=np.array([0.0, 6.0, 0.0]), n=-y, u=x, v=z,
+              tex=_multiscale_texture(rng), scale=60.0),
     ]
 
 
@@ -113,15 +315,81 @@ def make_trajectory(n_frames: int, seed: int = 0, translation_step: float = 0.04
     return poses
 
 
+def make_adversarial_trajectory(n_frames: int, seed: int = 0,
+                                translation_step: float = 0.05) -> np.ndarray:
+    """Trajectory with the motion regimes the benchmark trajectory avoids
+    (VERDICT r3 missing #1): three smooth segments —
+
+    1. frames [0, n/3):    translation-dominant (so monocular init can
+                           succeed; same shape as the benchmark),
+    2. frames [n/3, 2n/3): ROTATION-DOMINANT — yaw sweeps +/-14 deg while
+                           forward translation drops to step/3 (rotation
+                           gives zero parallax: triangulation angles
+                           collapse and the angle filter must carry it),
+    3. frames [2n/3, n):   LOW-PARALLAX creep — translation step/8
+                           (keyframe spacing starves, map growth stalls).
+
+    Returns [N,4,4] T_w_c.
+    """
+    from scipy.spatial.transform import Rotation
+
+    ts = np.arange(n_frames, dtype=np.float64)
+    n1, n2 = n_frames // 3, 2 * n_frames // 3
+    # per-frame forward speed by segment, smoothed to avoid jerk
+    speed = np.full(n_frames, translation_step)
+    speed[n1:n2] = translation_step / 3.0
+    speed[n2:] = translation_step / 8.0
+    speed = np.convolve(speed, np.ones(7) / 7.0, mode="same")
+    pz = np.concatenate([[0.0], np.cumsum(speed)[:-1]])
+    px = 0.35 * np.sin(ts * 2 * np.pi / max(n_frames, 60))
+    py = 0.06 * np.sin(ts * 2 * np.pi / 41.0)
+    # yaw: gentle in segment 1, sweeping in segment 2, settling in 3
+    yaw = 0.05 * np.sin(ts * 2 * np.pi / 80.0)
+    sweep = 0.25 * np.sin((ts - n1) * 2 * np.pi / max(n2 - n1, 1))
+    ramp = np.clip((ts - n1) / 6.0, 0, 1) * np.clip((n2 - ts) / 6.0, 0, 1)
+    yaw = yaw + sweep * ramp
+    pitch = 0.025 * np.sin(ts * 2 * np.pi / 57.0)
+    poses = np.zeros((n_frames, 4, 4))
+    for i in range(n_frames):
+        poses[i, :3, :3] = Rotation.from_euler(
+            "yx", [yaw[i], pitch[i]]).as_matrix()
+        poses[i, :3, 3] = [px[i], py[i], pz[i]]
+        poses[i, 3, 3] = 1.0
+    return poses
+
+
+def make_planar_trajectory(n_frames: int, seed: int = 0,
+                           lateral_step: float = 0.05) -> np.ndarray:
+    """Wall-facing trajectory for the planar (homography-init) sequence:
+    lateral translation with gentle approach and yaw, always facing the
+    z=6 wall of :func:`planar_scene`. Parallax exists (translation), but
+    every correspondence lies on ONE plane, so E is degenerate and the
+    H score must win the model selection."""
+    from scipy.spatial.transform import Rotation
+
+    ts = np.arange(n_frames, dtype=np.float64)
+    px = ts * lateral_step * 0.8
+    py = 0.05 * np.sin(ts * 2 * np.pi / 43.0)
+    pz = 0.4 * np.sin(ts * 2 * np.pi / max(n_frames * 2, 80))  # slow approach sway
+    yaw = 0.06 * np.sin(ts * 2 * np.pi / max(n_frames, 70))
+    poses = np.zeros((n_frames, 4, 4))
+    for i in range(n_frames):
+        poses[i, :3, :3] = Rotation.from_euler("y", yaw[i]).as_matrix()
+        poses[i, :3, 3] = [px[i], py[i], pz[i]]
+        poses[i, 3, 3] = 1.0
+    return poses
+
+
 # ---------------------------------------------------------------------------
 # rendering
 # ---------------------------------------------------------------------------
 
 
-def render_frame(T_w_c: np.ndarray, planes: list[Plane], K: np.ndarray,
+def render_frame(T_w_c: np.ndarray, objects: list, K: np.ndarray,
                  height: int = 480, width: int = 640) -> np.ndarray:
-    """Render one grayscale frame by exact ray/plane intersection with
-    bilinear texture lookup. Returns uint8 [H, W]."""
+    """Render one grayscale frame by exact ray tracing (planes / spheres /
+    boxes) with a z-buffer and bilinear texture lookup. Returns uint8
+    [H, W]."""
     Kinv = np.linalg.inv(K)
     us, vs = np.meshgrid(np.arange(width), np.arange(height))
     pix = np.stack([us.ravel(), vs.ravel(), np.ones(us.size)], axis=0)  # [3, P]
@@ -132,27 +400,13 @@ def render_frame(T_w_c: np.ndarray, planes: list[Plane], K: np.ndarray,
 
     best_t = np.full(us.size, np.inf)
     img = np.zeros(us.size, dtype=np.float64)
-    for pl in planes:
-        denom = pl.n @ dirs  # [P]
-        with np.errstate(divide="ignore", invalid="ignore"):
-            t_hit = ((pl.p0 - origin) @ pl.n) / denom
-        valid = (np.abs(denom) > 1e-9) & (t_hit > 0.05) & (t_hit < best_t)
+    for obj in objects:
+        t_hit = obj.intersect(origin, dirs)
+        valid = t_hit < best_t
         if not valid.any():
             continue
         X = origin[:, None] + dirs[:, valid] * t_hit[valid]  # [3, Pv]
-        rel = X - pl.p0[:, None]
-        tu = (pl.u @ rel) * pl.scale
-        tv = (pl.v @ rel) * pl.scale
-        th, tw = pl.tex.shape
-        iu = np.mod(tu, tw - 1)
-        iv = np.mod(tv, th - 1)
-        i0, j0 = np.floor(iv).astype(int), np.floor(iu).astype(int)
-        fv, fu = iv - i0, iu - j0
-        c = (pl.tex[i0, j0] * (1 - fu) * (1 - fv)
-             + pl.tex[i0, j0 + 1] * fu * (1 - fv)
-             + pl.tex[i0 + 1, j0] * (1 - fu) * fv
-             + pl.tex[i0 + 1, j0 + 1] * fu * fv)
-        img[valid] = c
+        img[valid] = obj.shade(X)
         best_t[valid] = t_hit[valid]
     return (np.clip(img, 0, 1) * 255).astype(np.uint8).reshape(height, width)
 
