@@ -165,7 +165,14 @@ def ba_solve(cfg: VOConfig, cam: Camera, prob: BAProblem):
     """
     W = cfg.ba.window
     M = prob.pts.shape[0]
-    info = jnp.asarray(cfg.ba.information_matrix, dtype=jnp.float32).reshape(2, 2)
+    # deterministic mode: run every reduction in f64 (see BAConfig.
+    # deterministic). Requires x64 enabled in the process; without it the
+    # casts are no-ops and this IS the default f32 path.
+    dtype = jnp.float64 if cfg.ba.deterministic else jnp.float32
+    prob = jax.tree.map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, prob)
+    info = jnp.asarray(cfg.ba.information_matrix, dtype=dtype).reshape(2, 2)
     huber = cfg.ba.huber_delta
     fix_points = cfg.ba.fix_map_points
     n_obs = jnp.maximum(jnp.sum(prob.obs_valid), 1)
@@ -179,7 +186,12 @@ def ba_solve(cfg: VOConfig, cam: Camera, prob: BAProblem):
         return jnp.sum(w * e2)
 
     def lm_step(carry, _):
-        T_c_w, pts, lam = carry
+        # cost_old is CARRIED (the accepted cost from the previous
+        # iteration — bit-identical to recomputing it, the LM state only
+        # changes on accept): one full residual pass per iteration saved,
+        # which matters because the 12-iteration chain is op-launch
+        # latency-bound on TPU, not FLOP-bound (MFU ~5e-6).
+        T_c_w, pts, lam, cost_old = carry
         p2 = prob._replace(T_c_w=T_c_w, pts=pts)
         r, J_c, J_p = _residuals_and_jacobians(p2, cam, info)
         w = _robust_weights(r, prob.obs_valid, info, huber)
@@ -257,6 +269,16 @@ def ba_solve(cfg: VOConfig, cam: Camera, prob: BAProblem):
 
             S_full = S.transpose(0, 2, 1, 3).reshape(6 * W, 6 * W)
             delta_c = -jnp.linalg.solve(S_full, g_red.reshape(-1)).reshape(W, 6)
+            # Zero the gauge-fixed frames BEFORE back-substitution: the 1e8
+            # stiffness leaks delta_c[fixed] ~ |g_corr|/1e8 (measured 4e-4,
+            # NOT negligible), and the landmark update must be consistent
+            # with the camera update actually applied. Back-substituting
+            # with the unzeroed delta_c was the round-3 "10.5% multihost
+            # cost gap": the dist solver zeroed first (correctly), this one
+            # didn't, and the two LMs genuinely solved different updates —
+            # at any precision. Root-caused in round 4 via f64 iterate
+            # comparison; see tests/test_dist_ba.py::test_single_vs_dist.
+            delta_c = jnp.where(fixed[:, None], 0.0, delta_c)
             # back-substitute landmarks
             rhs = b_p + jnp.einsum("wpij,wi->pj", U, delta_c)
             delta_p = -jnp.einsum("pij,pj->pi", A_inv, rhs)
@@ -266,7 +288,6 @@ def ba_solve(cfg: VOConfig, cam: Camera, prob: BAProblem):
         T_new = jax.vmap(lambda d, T: lie.se3_exp(d) @ T)(delta_c, T_c_w)
         pts_new = pts + delta_p
 
-        cost_old = cost_fn(T_c_w, pts)
         cost_new = cost_fn(T_new, pts_new)
         accept = cost_new < cost_old
         T_c_w = jnp.where(accept, T_new, T_c_w)
@@ -274,17 +295,21 @@ def ba_solve(cfg: VOConfig, cam: Camera, prob: BAProblem):
         lam = jnp.where(accept, lam * 0.5, lam * 4.0)
         # report the ACCEPTED state's cost (rejected proposals keep the old
         # cost) so the costs trace is monotone and usable in assertions
-        return (T_c_w, pts, lam), jnp.where(accept, cost_new, cost_old) / n_obs
+        cost_acc = jnp.where(accept, cost_new, cost_old)
+        return (T_c_w, pts, lam, cost_acc), cost_acc / n_obs
 
     # true-f32 contractions: the MXU's default one-pass-bf16 f32 matmul
     # corrupts the normal equations (see the note in models.vo.step_fused)
     with jax.default_matmul_precision("highest"):
-        (T_c_w, pts, _), costs = jax.lax.scan(
+        cost0 = cost_fn(prob.T_c_w, prob.pts)
+        (T_c_w, pts, _, _), costs = jax.lax.scan(
             lm_step,
-            (prob.T_c_w, prob.pts, jnp.asarray(cfg.ba.init_lambda, jnp.float32)),
+            (prob.T_c_w, prob.pts, jnp.asarray(cfg.ba.init_lambda, dtype),
+             cost0),
             None, length=cfg.ba.iterations,
         )
-    return T_c_w, pts, costs
+    return (T_c_w.astype(jnp.float32), pts.astype(jnp.float32),
+            costs.astype(jnp.float32))
 
 
 def write_back(cfg: VOConfig, st: S.VOState, prob: BAProblem,

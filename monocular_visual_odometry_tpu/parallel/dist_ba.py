@@ -62,7 +62,15 @@ def _dist_lm(cfg: VOConfig, cam: Camera, T_c_w0, obs_uv, obs_pid, obs_valid,
     """
     axis = POINTS_AXIS
     W = cfg.ba.window
-    info = jnp.asarray(cfg.ba.information_matrix, dtype=jnp.float32).reshape(2, 2)
+    # deterministic mode (BAConfig.deterministic): f64 partial sums make
+    # the psum'd Gram/Schur/cost reductions agree with single-device
+    # summation far below the LM accept thresholds, so the dist and
+    # single iterate trajectories coincide (requires x64 in the process)
+    dtype = jnp.float64 if cfg.ba.deterministic else jnp.float32
+    T_c_w0 = T_c_w0.astype(dtype)
+    obs_uv = obs_uv.astype(dtype)
+    pts_shard = pts_shard.astype(dtype)
+    info = jnp.asarray(cfg.ba.information_matrix, dtype=dtype).reshape(2, 2)
     huber = cfg.ba.huber_delta
     fix_points = cfg.ba.fix_map_points
     M_loc = pts_shard.shape[0]
@@ -98,7 +106,9 @@ def _dist_lm(cfg: VOConfig, cam: Camera, T_c_w0, obs_uv, obs_pid, obs_valid,
         fixed = fixed | (jnp.arange(W) == oldest) | (jnp.arange(W) == second)
 
     def lm_step(carry, _):
-        T_c_w, p_shard, lam = carry
+        # cost_old carried from the previous iteration's accept — same
+        # latency optimization (and identical numerics) as models.ba
+        T_c_w, p_shard, lam, cost_old = carry
         pts = full_pts(p_shard)
         r, J_c, J_p = BA._residuals_and_jacobians(
             local_problem(T_c_w, pts), cam, info)
@@ -180,23 +190,26 @@ def _dist_lm(cfg: VOConfig, cam: Camera, T_c_w0, obs_uv, obs_pid, obs_valid,
         delta_c = jnp.where(fixed[:, None], 0.0, delta_c)
         T_new = jax.vmap(lambda d, T: lie.se3_exp(d) @ T)(delta_c, T_c_w)
         p_new = p_shard + delta_p
-        cost_old = cost_fn(T_c_w, p_shard)
         cost_new = cost_fn(T_new, p_new)
         accept = cost_new < cost_old
         T_c_w = jnp.where(accept, T_new, T_c_w)
         p_shard = jnp.where(accept, p_new, p_shard)
         lam = jnp.where(accept, lam * 0.5, lam * 4.0)
-        return (T_c_w, p_shard, lam), jnp.where(accept, cost_new, cost_old) / n_obs
+        cost_acc = jnp.where(accept, cost_new, cost_old)
+        return (T_c_w, p_shard, lam, cost_acc), cost_acc / n_obs
 
     # true-f32 contractions: the MXU's default one-pass-bf16 f32 matmul
     # corrupts the normal equations (see the note in models.vo.step_fused)
     with jax.default_matmul_precision("highest"):
-        (T_c_w, p_shard, _), costs = jax.lax.scan(
+        cost0 = cost_fn(T_c_w0, pts_shard)
+        (T_c_w, p_shard, _, _), costs = jax.lax.scan(
             lm_step,
-            (T_c_w0, pts_shard, jnp.asarray(cfg.ba.init_lambda, jnp.float32)),
+            (T_c_w0, pts_shard, jnp.asarray(cfg.ba.init_lambda, dtype),
+             cost0),
             None, length=cfg.ba.iterations,
         )
-    return T_c_w, p_shard, costs
+    return (T_c_w.astype(jnp.float32), p_shard.astype(jnp.float32),
+            costs.astype(jnp.float32))
 
 
 def _shard_mapped_solver(cfg: VOConfig, cam: Camera, mesh: Mesh):

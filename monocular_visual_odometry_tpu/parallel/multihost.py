@@ -48,6 +48,10 @@ def _parse_args(argv):
     ap.add_argument("--landmarks", type=int, default=1024)
     ap.add_argument("--obs-per-frame", type=int, default=256)
     ap.add_argument("--iterations", type=int, default=15)
+    ap.add_argument("--deterministic", action="store_true",
+                    help="f64 accumulation (cfg.ba.deterministic) + x64: the "
+                         "dist and single LM follow the same accept/reject "
+                         "trajectory, so final costs must agree to <1e-3")
     return ap.parse_args(argv)
 
 
@@ -63,6 +67,9 @@ def main(argv=None) -> int:
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    if args.deterministic:
+        # must precede any trace: f64 literals are silent f32 without it
+        jax.config.update("jax_enable_x64", True)
     from monocular_visual_odometry_tpu.parallel.mesh import init_distributed
 
     init_distributed(coordinator=args.coordinator,
@@ -83,7 +90,11 @@ def main(argv=None) -> int:
 
     cfg = VOConfig()
     cfg = cfg.replace(ba=dataclasses.replace(
-        cfg.ba, fix_map_points=False, window=5, iterations=args.iterations))
+        cfg.ba, fix_map_points=False, window=5, iterations=args.iterations,
+        deterministic=args.deterministic))
+    if args.deterministic:
+        assert jnp.zeros(1, jnp.float64).dtype == jnp.float64, (
+            "x64 must be enabled for --deterministic")
     # every process builds the identical seeded problem (host numpy)
     prob, cam = make_problem(W=5, K=args.obs_per_frame, M=args.landmarks)
     prob_np = jax.tree.map(np.asarray, prob)
@@ -158,7 +169,8 @@ def main(argv=None) -> int:
         "collectives": "gloo",
         "problem": {"window": 5, "obs_per_frame": args.obs_per_frame,
                     "landmarks": args.landmarks,
-                    "lm_iterations": args.iterations, "mode": "joint"},
+                    "lm_iterations": args.iterations, "mode": "joint",
+                    "deterministic": bool(args.deterministic)},
         "pose_err_vs_single_device": pose_err,
         "point_err_vs_single_device": pt_err,
         "cost_of_single_solution": cost_at_single,

@@ -51,6 +51,22 @@ class MatchConfig:
     max_pixel_dist_init: float = 100.0   # max_matching_pixel_dist_in_initialization
     max_pixel_dist_triang: float = 100.0
     max_pixel_dist_pnp: float = 50.0
+    method3_ambiguity_ratio: float = 1.0 # Lowe-style ambiguity gate ON TOP
+                                         # of the radius matcher (methods
+                                         # 1/3): reject when
+                                         # best >= ratio * second_best.
+                                         # 1.0 = off (reference parity —
+                                         # its radius matcher has no ratio
+                                         # test, feature_match.cpp:86-124).
+                                         # On EXACT repeated texture the
+                                         # nearest descriptor is a coin
+                                         # flip between the true match and
+                                         # an alias (best == second == 0);
+                                         # 0.8 rejects those ambiguous
+                                         # matches and rescues tracking on
+                                         # scene family B
+                                         # (docs/ROBUSTNESS.md). Free: the
+                                         # matcher already computes top-2.
     # NOTE: the reference's method_3_feature_dist_threshold is dead code
     # there too (the block applying it is commented out,
     # feature_match.cpp:164-179; methods 1 and 3 both use the xiang-gao
@@ -78,11 +94,22 @@ class RansacConfig:
     essential_minimal: str = "8pt"       # "5pt" = Nistér-class five-point
                                          # minimal samples (the
                                          # cv::findEssentialMat parity path,
-                                         # ops/fivepoint.py; wins at >=50%
-                                         # outliers), "8pt" = eight-point
-                                         # minimal samples (cheaper; fine at
-                                         # the low outlier rates left after
-                                         # radius-gated matching)
+                                         # ops/fivepoint.py), "8pt" =
+                                         # eight-point minimal samples.
+                                         # Measured A/B (FIVEPOINT_AB_r04,
+                                         # 12 seeds x outlier sweep):
+                                         # identical at 0% outliers; 5pt
+                                         # wins from >=20% (t-dir 2.0 vs
+                                         # 3.9 deg med at 20%, half the
+                                         # failures at 40-60% — the
+                                         # 0.8^5-vs-0.8^8 clean-draw odds).
+                                         # 8pt stays default because the
+                                         # radius-gated matcher leaves
+                                         # <~10% outliers on the benchmark
+                                         # (where they tie) and 8pt is ~2x
+                                         # cheaper per hypothesis; switch
+                                         # to "5pt" for heavy-outlier
+                                         # regimes.
     # findEssentialMat_prob has no analogue: adaptive RANSAC termination is
     # replaced by the fixed hypothesis batch above (SURVEY.md §8.3); the
     # reference key is accepted and ignored by load_config.
@@ -128,6 +155,21 @@ class TrackingConfig:
 
     min_dist_between_keyframes: float = 0.03
     max_dist_to_prev_keyframe: float = 0.3
+    use_motion_model: bool = True        # constant-velocity pose PREDICTION
+                                         # for the map frustum scan and the
+                                         # matching radius gate (T_pred =
+                                         # T_prev @ last_rel). The reference
+                                         # projects with the stale previous
+                                         # pose (vo.cpp:16-49); under fast
+                                         # rotation (4.5 deg/frame ~ 48 px
+                                         # image motion at fx=615) the
+                                         # 50 px gate then centers in the
+                                         # wrong place and tracking dies —
+                                         # measured on the adversarial
+                                         # trajectory (docs/ROBUSTNESS.md).
+                                         # Documented deviation; A/B'd on
+                                         # the benchmark (no regression).
+                                         # False = exact reference behavior.
 
 
 @dataclass(frozen=True)
@@ -152,6 +194,29 @@ class BAConfig:
                                          # 0.1% ATE (docs/PARITY.md)
     huber_delta: float = 3.0             # robust kernel width (pixels·sqrt(info))
     init_lambda: float = 1e-3
+    deterministic: bool = False          # f64 accumulation of every Gram/
+                                         # Schur/cost reduction. Purpose:
+                                         # make the distributed and single-
+                                         # device LM follow the SAME accept/
+                                         # reject trajectory — f32 psum
+                                         # partial sums differ from a single
+                                         # device's summation order by
+                                         # ~1e-7 relative, which the LM
+                                         # accept branch amplifies into
+                                         # divergent iterate paths (the
+                                         # 10.5% final-cost gap in
+                                         # MULTIHOST_r03.json). At f64 the
+                                         # order noise (~1e-16) sits far
+                                         # below every accept threshold, so
+                                         # the trajectories coincide
+                                         # (gated <1e-3 two-sided in
+                                         # tests/test_multihost.py).
+                                         # Requires jax_enable_x64 in the
+                                         # process (otherwise the casts are
+                                         # silent no-ops and the mode
+                                         # degrades to the default);
+                                         # verification-speed, not for the
+                                         # per-frame hot path.
     keyframe_window: bool = True         # window = current frame + last W-1
                                          # KEYFRAME ring slots instead of the
                                          # last W frames — closer to the

@@ -61,8 +61,12 @@ def test_dist_matches_single_device_one_iteration_20_seeds():
 
 
 def test_dist_reaches_single_device_cost():
-    """Across many iterations the accept/lambda paths can diverge in f32,
-    but both optimizers must land at the same normalized cost."""
+    """Across 15 iterations both optimizers must land at the same
+    normalized cost to f32 summation-order noise. (Round 4 tightened this
+    gate 0.05 -> 1e-3: the old slack was absorbing a real single-device
+    bug — back-substitution with the unzeroed gauge-fixed delta_c — that
+    made the solvers genuinely solve different landmark updates. Fixed in
+    models/ba.py; measured agreement is now ~1e-6.)"""
     prob, cam, T_gt, pts_gt = _make_problem(M=256, noise_px=0.3, pose_noise=0.02,
                                             pt_noise=0.03)
     cfg = _cfg(iters=15)
@@ -71,7 +75,7 @@ def test_dist_reaches_single_device_cost():
     _, _, c_dist = solve(prob)
     ref = float(np.asarray(c_ref)[-1])
     dist = float(np.asarray(c_dist)[-1])
-    assert abs(ref - dist) < 0.05 * ref, (ref, dist)
+    assert abs(ref - dist) < 1e-3 * ref, (ref, dist)
 
 
 def test_dist_converges_to_gt():
