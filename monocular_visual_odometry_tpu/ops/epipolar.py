@@ -296,26 +296,47 @@ def refine_pose_sampson(
         tp = tp / (jnp.linalg.norm(tp) + _EPS)
         return _sampson_residuals(Rp, tp, x1, x2)
 
+    # Redescending IRLS weight: Huber inside, ZERO beyond 5x the Huber
+    # width. Plain Huber keeps w = delta/|r| for gross outliers, which
+    # grows the cost LINEARLY with their residual — at ~20% gross
+    # outliers that measurably drags the refined translation direction
+    # (tournament median t-dir error 26 deg vs 5.5 deg for the
+    # unrefined reference rule, round-4 A/B). Cutting the weight to zero
+    # makes refinement condition only on plausible correspondences, like
+    # refining on the consensus set but smooth at the boundary.
+    cutoff = 5.0 * huber_delta
+
+    def irls_w(r):
+        absr = jnp.abs(r)
+        w = jnp.where(absr <= huber_delta, 1.0, huber_delta / (absr + _EPS))
+        return jnp.where(absr > cutoff, 0.0, w)
+
+    def robust_cost(r):
+        # matching bounded evaluation cost: Huber inside, constant beyond
+        # the cutoff (so moving an excluded outlier does not change it)
+        absr = jnp.abs(r)
+        quad = r * r
+        lin = huber_delta * (2.0 * absr - huber_delta)
+        c = jnp.where(absr <= huber_delta, quad, lin)
+        cap = huber_delta * (2.0 * cutoff - huber_delta)
+        return jnp.sum(w_valid * jnp.where(absr > cutoff, cap, c))
+
     def step(carry, _):
         R, t, lam = carry
         B = tangent_basis(t)
         p0 = jnp.zeros(5, dtype=x1.dtype)
         r = residuals(p0, R, t, B)
         J = jax.jacfwd(residuals)(p0, R, t, B)          # [N,5]
-        absr = jnp.abs(r)
-        w_huber = jnp.where(absr <= huber_delta, 1.0, huber_delta / (absr + _EPS))
-        w = w_valid * w_huber
+        w = w_valid * irls_w(r)
         H = J.T @ (J * w[:, None])
         g = J.T @ (r * w)
         delta = -jnp.linalg.solve(H + lam * jnp.eye(5, dtype=x1.dtype), g)
         R_new = lie.so3_exp(delta[:3]) @ R
         t_new = t + B @ delta[3:]
         t_new = t_new / (jnp.linalg.norm(t_new) + _EPS)
-        cost = jnp.sum(w * r * r)
+        cost = robust_cost(r)
         r_new = _sampson_residuals(R_new, t_new, x1, x2)
-        w_new = w_valid * jnp.where(jnp.abs(r_new) <= huber_delta, 1.0,
-                                    huber_delta / (jnp.abs(r_new) + _EPS))
-        cost_new = jnp.sum(w_new * r_new * r_new)
+        cost_new = robust_cost(r_new)
         accept = cost_new < cost
         R = jnp.where(accept, R_new, R)
         t = jnp.where(accept, t_new, t)

@@ -139,17 +139,63 @@ def estimate_relative_pose(
         Rs_ref, ts_ref = refine(cand_R, cand_t)
 
         def robust_cost(R, t):
-            r = epi._sampson_residuals(R, t, x1, x2)
-            a = jnp.abs(r)
-            w = jnp.where(a <= huber, 1.0, huber / (a + 1e-12))
-            return jnp.sum(valid * w * r * r)
+            # Candidate quality = MSAC (truncated quadratic) WITH
+            # cheirality, after resolving the candidate's t sign by
+            # positive-depth vote. Two measured failure modes of the old
+            # unbounded-Huber cost (round 4, FIVEPOINT_AB_r04.json):
+            # (1) Huber grows linearly with outlier residual, so at ~20%
+            #     gross outliers a degenerate H pose that drags far
+            #     outliers slightly closer beat the correct E pose (75 deg
+            #     translation error vs the reference rule's 7 deg);
+            # (2) Sampson error alone cannot separate an H decomposition
+            #     from its MIRROR solution — both fit the plane exactly —
+            #     only depth signs can.
+            # Truncation bounds every outlier to the same constant and a
+            # negative-depth point counts as a full outlier, so the winner
+            # is the pose placing the most points in front of both
+            # cameras within threshold — ORB-SLAM's CheckRT principle
+            # (capped chi2 + visible-point count,
+            # motion_estimation.cpp:501-664).
+            T = lie.rt_to_T(R, t)
+            pts = epi.triangulate(x1, x2, T)
+            z1, z2 = epi.depths_in_two_views(pts, T)
+            n_pos = jnp.sum(valid & (z1 > 0) & (z2 > 0))
+            n_neg = jnp.sum(valid & (z1 < 0) & (z2 < 0))
+            flip = n_neg > n_pos
+            t = jnp.where(flip, -t, t)
+            pos = jnp.where(flip, (z1 < 0) & (z2 < 0), (z1 > 0) & (z2 > 0))
+            r = epi._sampson_residuals(R, t, x1, x2)   # |r| is t-sign invariant
+            h2 = huber * huber
+            c = jnp.where(pos, jnp.minimum(r * r, h2), h2)
+            return jnp.sum(valid * c), t
 
-        costs = jax.vmap(robust_cost)(Rs_ref, ts_ref)
+        costs, ts_res = jax.vmap(robust_cost)(Rs_ref, ts_ref)
         cand_ok = jnp.concatenate([jnp.asarray([True]), valid4])
         costs = jnp.where(cand_ok, costs, jnp.inf)
-        best = jnp.argmin(costs)
+        # E-vs-H with an H bias on near-ties: on a dominant plane the
+        # plane-induced E family fits every correspondence as well as the
+        # true pose (costs tie to noise), and a plain argmin can land on
+        # a wrong family member; the H decomposition is the identified
+        # solution there. Same asymmetry as ORB-SLAM's ratio threshold
+        # 0.40-0.45 < 0.5 (motion_estimation.cpp:141 uses the
+        # code-value 0.5; README.md:57 documents 0.45): E must be
+        # MEANINGFULLY better to win. Measured: fixes the planar seed
+        # where E tied at 56 deg t-error without affecting any
+        # non-planar case (E's cost there is far below H's).
+        # among H decompositions, near-ties (<=5%) resolve by max |n_z|:
+        # for points ON the plane BOTH physical decompositions reproduce H
+        # exactly and pass cheirality — Sampson/depth cannot separate a
+        # solution from its mirror; the reference's frontal-plane prior
+        # (max |normal_z|, motion_estimation.cpp:142-154) is the
+        # disambiguator. Inert off-plane, where one H candidate clearly
+        # wins or E does.
+        ch = costs[1:]
+        near_h = ch <= jnp.min(ch) * 1.05
+        best_h = 1 + jnp.argmax(jnp.where(near_h, jnp.abs(ns_h[:, 2]), -1.0))
+        e_wins = costs[0] < 0.95 * costs[best_h]
+        best = jnp.where(e_wins, 0, best_h)
         R = Rs_ref[best]
-        t = ts_ref[best]
+        t = ts_res[best]
         use_h = best > 0
         best_h_idx = jnp.maximum(best - 1, 0)
 

