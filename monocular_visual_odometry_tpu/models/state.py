@@ -37,6 +37,10 @@ class MapState(NamedTuple):
     visible: jnp.ndarray   # [M] int32
     matched: jnp.ndarray   # [M] int32
     valid: jnp.ndarray     # [M] bool
+    gray: jnp.ndarray      # [M] f32 image intensity at creation — the
+                           # grayscale analogue of MapPoint::color_
+                           # (mappoint.h), used to shade the viewer's
+                           # map-point cloud like the reference's PCL view
     created_idx: jnp.ndarray  # [M] int32 frame index at creation — lets the
                               # viewer show "newly triangulated" points red,
                               # as the reference's updateCurrPoints cloud
@@ -55,6 +59,7 @@ class MapState(NamedTuple):
             visible=jnp.zeros(capacity, jnp.int32),
             matched=jnp.zeros(capacity, jnp.int32),
             valid=jnp.zeros(capacity, bool),
+            gray=jnp.zeros(capacity, jnp.float32),
             created_idx=jnp.full(capacity, -1, jnp.int32),
         )
 
@@ -100,6 +105,17 @@ class VOState(NamedTuple):
     stage: jnp.ndarray       # scalar int32 (STAGE_*)
     frame_idx: jnp.ndarray   # scalar int32
     T_w_c: jnp.ndarray       # [4,4] current pose
+    last_rel: jnp.ndarray    # [4,4] last frame-to-frame motion
+                             # inv(T_prev) @ T_curr — the constant-velocity
+                             # model used to PREDICT the current pose for
+                             # the frustum scan + matching radius gate
+                             # (cfg.tracking.use_motion_model). Identity
+                             # after init or a failed track. The reference
+                             # projects with the stale previous pose
+                             # (vo.cpp:16-49), which collapses under fast
+                             # rotation (~50px/frame image motion vs the
+                             # 50px gate) — measured on the adversarial
+                             # trajectory, docs/ROBUSTNESS.md.
     # reference keyframe (ref_, vo.h:62)
     ref_feats: FrameFeatures
     ref_pose: jnp.ndarray    # [4,4]
@@ -148,6 +164,7 @@ def empty_features(k: int) -> FrameFeatures:
         levels=jnp.zeros(k, jnp.int32),
         desc=jnp.zeros((k, 32), jnp.uint8),
         valid=jnp.zeros(k, bool),
+        gray=jnp.zeros(k, jnp.float32),
     )
 
 
@@ -159,6 +176,7 @@ def init_state(cfg: VOConfig, seed: int = 0) -> VOState:
         stage=jnp.asarray(STAGE_BLANK, jnp.int32),
         frame_idx=jnp.asarray(0, jnp.int32),
         T_w_c=jnp.eye(4, dtype=jnp.float32),
+        last_rel=jnp.eye(4, dtype=jnp.float32),
         ref_feats=empty_features(k),
         ref_pose=jnp.eye(4, dtype=jnp.float32),
         ref_mp_idx=jnp.full(k, -1, jnp.int32),
@@ -184,6 +202,7 @@ def push_keyframe(st: "VOState", pose: jnp.ndarray) -> "VOState":
 def insert_map_points(
     m: MapState, pts: jnp.ndarray, desc: jnp.ndarray, normals: jnp.ndarray,
     mask: jnp.ndarray, frame_idx: jnp.ndarray | int = 0,
+    gray: jnp.ndarray | None = None,
 ) -> tuple[MapState, jnp.ndarray]:
     """Functional map insertion (insertMapPoint, map.cpp:22-32).
 
@@ -200,6 +219,8 @@ def insert_map_points(
     pos = jnp.cumsum(mask.astype(jnp.int32)) - 1          # rank among inserted
     can = mask & (pos < n_free)
     slot = jnp.where(can, free_order[jnp.clip(pos, 0, M - 1)], M)  # M -> dropped
+    if gray is None:
+        gray = jnp.zeros(pts.shape[0], jnp.float32)
     new = MapState(
         pts=m.pts.at[slot].set(pts, mode="drop"),
         desc=m.desc.at[slot].set(desc, mode="drop"),
@@ -207,6 +228,7 @@ def insert_map_points(
         visible=m.visible.at[slot].set(1, mode="drop"),
         matched=m.matched.at[slot].set(1, mode="drop"),
         valid=m.valid.at[slot].set(True, mode="drop"),
+        gray=m.gray.at[slot].set(gray, mode="drop"),
         created_idx=m.created_idx.at[slot].set(
             jnp.asarray(frame_idx, jnp.int32), mode="drop"),
     )

@@ -174,7 +174,8 @@ def _step_init_impl(cfg: VOConfig, cam: Camera, st: S.VOState, img: jnp.ndarray)
     nrm = pts_w - cam_center[None, :]
     nrm = nrm / (jnp.linalg.norm(nrm, axis=-1, keepdims=True) + 1e-9)
     new_map, slots = S.insert_map_points(st.map, pts_w, desc_new, nrm,
-                                         insert_mask, frame_idx=st.frame_idx)
+                                         insert_mask, frame_idx=st.frame_idx,
+                                         gray=feats.gray[m.train_idx])
 
     k = cfg.orb.max_keypoints
     curr_mp = scatter_links(jnp.full(k, -1, jnp.int32), m.train_idx,
@@ -356,7 +357,8 @@ def _keyframe_update_impl(cfg: VOConfig, cam: Camera, st: S.VOState,
     nrm = pts_w - cam_center[None, :]
     nrm = nrm / (jnp.linalg.norm(nrm, axis=-1, keepdims=True) + 1e-9)
     new_map, slots = S.insert_map_points(st.map, pts_w, desc_new, nrm, fresh,
-                                         frame_idx=st.frame_idx - 1)
+                                         frame_idx=st.frame_idx - 1,
+                                         gray=feats.gray[m.train_idx])
 
     link_target = jnp.where(reuse, ref_links, jnp.where(fresh, slots, -1))
     curr_mp = scatter_links(curr_mp, m.train_idx, link_target)

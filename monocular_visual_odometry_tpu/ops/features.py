@@ -101,6 +101,11 @@ class FrameFeatures(NamedTuple):
     levels: jnp.ndarray   # [K] pyramid level index
     desc: jnp.ndarray     # [K, 32] uint8 bit-packed 256-bit descriptor
     valid: jnp.ndarray    # [K] bool
+    gray: jnp.ndarray     # [K] image intensity at the keypoint (the
+                          # grayscale analogue of the reference's
+                          # per-keypoint RGB, frame.h kpts_colors_ /
+                          # mappoint.h color_ — carried into the map for
+                          # viewer cloud shading)
 
     @property
     def n_valid(self) -> jnp.ndarray:
@@ -493,8 +498,9 @@ def detect_and_describe(
     desc = _descriptors_from_pool(blur.reshape(-1), W_A, xa, ya, angles)
     desc = jnp.where(valid[:, None], desc, jnp.uint8(0))
 
+    gray = jnp.where(valid, jnp.take(atlas.reshape(-1), pos), 0.0)
     return FrameFeatures(kpts=kpts, scores=scores, angles=angles,
-                         levels=levels, desc=desc, valid=valid)
+                         levels=levels, desc=desc, valid=valid, gray=gray)
 
 
 def features_from_config(img: jnp.ndarray, cfg: OrbConfig) -> FrameFeatures:

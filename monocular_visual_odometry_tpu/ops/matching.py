@@ -131,7 +131,7 @@ def _dedup_best_per_train(query_idx, train_idx, dist, valid, n_train: int):
     return winner
 
 
-@functools.partial(jax.jit, static_argnames=("method",))
+@functools.partial(jax.jit, static_argnames=("method", "ambiguity_ratio"))
 def match_features(
     desc1: jnp.ndarray, desc2: jnp.ndarray,
     valid1: jnp.ndarray, valid2: jnp.ndarray,
@@ -142,6 +142,7 @@ def match_features(
     xiang_gao_ratio: float = 2.0,
     lowe_ratio: float = 0.8,
     dist_floor: float = 30.0,
+    ambiguity_ratio: float = 1.0,
 ) -> Matches:
     """Match descriptor set 1 (query) against set 2 (train).
 
@@ -184,6 +185,14 @@ def match_features(
         min_dist = jnp.min(jnp.where(matched, best, _INF))
         thresh = jnp.maximum(min_dist * xiang_gao_ratio, dist_floor)
         ok = matched & (best < thresh)
+        if ambiguity_ratio < 1.0:
+            # Lowe-style ambiguity gate on top of the radius matcher (off
+            # at 1.0 = reference parity, which never ratio-tests method
+            # 1/3). On exact repeated texture best == second == 0 and the
+            # argmin winner is an arbitrary alias — the strict ratio
+            # rejects it (0 < r*0 is false), while a unique perfect match
+            # (best 0, second >= 1) passes.
+            ok = ok & (best < ambiguity_ratio * second)
 
     query = jnp.arange(K1, dtype=jnp.int32)
     ok = ok & valid1

@@ -137,3 +137,36 @@ def test_mean_pixel_displacement():
     m = M.Matches(query_idx=jnp.asarray([0, 1]), train_idx=jnp.asarray([0, 1]),
                   dist=jnp.zeros(2), valid=jnp.asarray([True, True]))
     assert abs(float(M.mean_pixel_displacement(kp1, kp2, m)) - 5.0) < 1e-6
+
+
+def test_ambiguity_gate_rejects_exact_repeats():
+    """method3_ambiguity_ratio (off by default): on EXACT repeated texture
+    the best and second-best Hamming distances are both ~0 and the argmin
+    winner is an arbitrary alias. The gate must reject those ambiguous
+    matches while keeping unique ones — the scene-family-B rescue
+    (docs/ROBUSTNESS.md)."""
+    rng = np.random.default_rng(3)
+    K = 8
+    # three distinct descriptors; trains 0 and 1 are EXACT DUPLICATES
+    d_unique = rng.integers(0, 256, (K, 32)).astype(np.uint8)
+    train = d_unique.copy()
+    train[1] = train[0]                      # duplicated descriptor
+    query = d_unique.copy()
+    valid = jnp.ones(K, bool)
+    kpts = jnp.asarray(rng.uniform(0, 100, (K, 2)).astype(np.float32))
+
+    # without the gate: query 0 matches SOME copy of its descriptor
+    m_off = M.match_features(
+        jnp.asarray(query), jnp.asarray(train), valid, valid, kpts, kpts,
+        method=3, max_pixel_dist=1e6)
+    assert bool(m_off.valid[0])
+
+    # with the gate: the ambiguous query-0 match is rejected, the unique
+    # ones survive
+    m_on = M.match_features(
+        jnp.asarray(query), jnp.asarray(train), valid, valid, kpts, kpts,
+        method=3, max_pixel_dist=1e6, ambiguity_ratio=0.8)
+    assert not bool(m_on.valid[0]), "exact-repeat match must be rejected"
+    assert not bool(m_on.valid[1])
+    kept = np.asarray(m_on.valid)[2:]
+    assert kept.sum() >= K - 4, kept

@@ -148,3 +148,30 @@ def test_scatter_links_collision_safe():
     keep = scatter_links(jnp.array([4, -1], jnp.int32), jnp.array([0]),
                          jnp.array([-1]))
     np.testing.assert_array_equal(np.asarray(keep), [4, -1])
+
+
+def test_motion_model_velocity_state(sequence):
+    """cfg.tracking.use_motion_model: after a successful tracked frame the
+    state carries last_rel = inv(T_prev) @ T_curr (the constant-velocity
+    prediction used by the next frame's frustum scan / radius gate), and
+    it resets to identity when tracking fails."""
+    from monocular_visual_odometry_tpu.ops import lie
+
+    frames, gt = sequence
+    eng = VOEngine(_small_cfg(), 480, 640)
+    prev_T = None
+    for i, f in enumerate(frames[:12]):
+        before_T = np.asarray(eng.state.T_w_c).copy()
+        out = eng.add_frame(f)
+        if int(out.stage) == S.STAGE_TRACKING and bool(out.tracking_ok) \
+                and prev_T is not None and i > 8:
+            got = np.asarray(eng.state.last_rel)
+            want = np.asarray(lie.relative_T(jnp.asarray(before_T),
+                                             eng.state.T_w_c))
+            # last_rel is recorded pre-BA; T_w_c includes the (small) BA
+            # adjustment, so compare loosely
+            np.testing.assert_allclose(got, want, atol=1e-3)
+            # the prediction moves the pose forward, i.e. it is not the
+            # stale-pose projection unless the camera truly stopped
+            assert np.abs(got - np.eye(4)).max() > 1e-6
+        prev_T = before_T
