@@ -154,6 +154,7 @@ def main(argv=None) -> int:
     plot = trajectory.plot_trajectory(
         est, gt[: len(est)] if gt is not None else None, map_pts,
         keyframes=keyframes, new_pts=new_pts,
+        map_gray=np.asarray(st.map.gray)[valid],
         out_path=os.path.join(args.output, "trajectory.png"),
         title=f"{len(est)} frames, {n_kf} keyframes, {len(map_pts)} map points")
     print(f"[cli] plot -> {plot}")

@@ -21,6 +21,7 @@ def plot_trajectory(est: np.ndarray, gt: Optional[np.ndarray] = None,
                     map_pts: Optional[np.ndarray] = None,
                     keyframes: Optional[np.ndarray] = None,
                     new_pts: Optional[np.ndarray] = None,
+                    map_gray: Optional[np.ndarray] = None,
                     out_path: str = "trajectory.png",
                     title: str = "", three_d: bool = True) -> str:
     """Top-down (x-z) + side (z-y) trajectory views plus an optional 3-D
@@ -56,6 +57,12 @@ def plot_trajectory(est: np.ndarray, gt: Optional[np.ndarray] = None,
         kf = kf[:, :3, 3] if kf.ndim == 3 else kf
         kf = world(kf)
     mp = world(map_pts) if map_pts is not None and len(map_pts) else None
+    # per-point intensity shading (MapState.gray — the grayscale analogue
+    # of the reference's colored PCL cloud, pcl_display.cpp:16-33)
+    mp_c = "#bbbbbb"
+    if mp is not None and map_gray is not None and len(map_gray) == len(mp):
+        g = np.clip(np.asarray(map_gray, float) / 255.0, 0.0, 1.0)
+        mp_c = np.stack([0.35 + 0.6 * g] * 3, axis=-1)
     npts = world(new_pts) if new_pts is not None and len(new_pts) else None
     pg = None
     if gt is not None:
@@ -68,7 +75,7 @@ def plot_trajectory(est: np.ndarray, gt: Optional[np.ndarray] = None,
     for ax, (i, j), name in zip(axes, [(0, 2), (2, 1)],
                                 ["top-down (x-z)", "side (z-y)"]):
         if mp is not None:
-            ax.scatter(mp[:, i], mp[:, j], s=2, c="#bbbbbb", label="map points")
+            ax.scatter(mp[:, i], mp[:, j], s=2, c=mp_c, label="map points")
         if npts is not None:
             ax.scatter(npts[:, i], npts[:, j], s=6, c="#d62728",
                        label="new points")
@@ -86,7 +93,7 @@ def plot_trajectory(est: np.ndarray, gt: Optional[np.ndarray] = None,
     if three_d:
         ax3 = fig.add_subplot(1, 3, 3, projection="3d")
         if mp is not None:
-            ax3.scatter(mp[:, 0], mp[:, 2], mp[:, 1], s=1, c="#bbbbbb")
+            ax3.scatter(mp[:, 0], mp[:, 2], mp[:, 1], s=1, c=mp_c)
         if npts is not None:
             ax3.scatter(npts[:, 0], npts[:, 2], npts[:, 1], s=5, c="#d62728")
         ax3.plot(pe[:, 0], pe[:, 2], pe[:, 1], c="#1f77b4")
