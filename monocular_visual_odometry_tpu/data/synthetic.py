@@ -91,8 +91,10 @@ def _tex_lookup(tex: np.ndarray, tu: np.ndarray, tv: np.ndarray) -> np.ndarray:
     th, tw = tex.shape
     iu = np.mod(tu, tw - 1)
     iv = np.mod(tv, th - 1)
-    i0 = np.floor(iv).astype(int)
-    j0 = np.floor(iu).astype(int)
+    # float mod can round up to exactly tw-1 for large/negative inputs;
+    # clamp so i0+1 stays in bounds
+    i0 = np.clip(np.floor(iv).astype(int), 0, th - 2)
+    j0 = np.clip(np.floor(iu).astype(int), 0, tw - 2)
     fv, fu = iv - i0, iu - j0
     return (tex[i0, j0] * (1 - fu) * (1 - fv)
             + tex[i0, j0 + 1] * fu * (1 - fv)
@@ -322,10 +324,13 @@ def make_adversarial_trajectory(n_frames: int, seed: int = 0,
 
     1. frames [0, n/3):    translation-dominant (so monocular init can
                            succeed; same shape as the benchmark),
-    2. frames [n/3, 2n/3): ROTATION-DOMINANT — yaw sweeps +/-14 deg while
-                           forward translation drops to step/3 (rotation
-                           gives zero parallax: triangulation angles
-                           collapse and the angle filter must carry it),
+    2. frames [n/3, 2n/3): ROTATION-DOMINANT — yaw sweeps +/-14 deg on a
+                           FIXED 20-frame period (peak rate ~4.5 deg/frame
+                           ~ 48 px image motion at fx=615, independent of
+                           n_frames) while forward translation drops to
+                           step/3 (rotation gives zero parallax:
+                           triangulation angles collapse and the angle
+                           filter must carry it),
     3. frames [2n/3, n):   LOW-PARALLAX creep — translation step/8
                            (keyframe spacing starves, map growth stalls).
 
@@ -345,7 +350,10 @@ def make_adversarial_trajectory(n_frames: int, seed: int = 0,
     py = 0.06 * np.sin(ts * 2 * np.pi / 41.0)
     # yaw: gentle in segment 1, sweeping in segment 2, settling in 3
     yaw = 0.05 * np.sin(ts * 2 * np.pi / 80.0)
-    sweep = 0.25 * np.sin((ts - n1) * 2 * np.pi / max(n2 - n1, 1))
+    # fixed 20-frame sweep period: peak yaw rate 0.25*2pi/20 ~ 4.5 deg/
+    # frame regardless of sequence length (a length-scaled period would
+    # soften the stress as n grows)
+    sweep = 0.25 * np.sin((ts - n1) * 2 * np.pi / 20.0)
     ramp = np.clip((ts - n1) / 6.0, 0, 1) * np.clip((n2 - ts) / 6.0, 0, 1)
     yaw = yaw + sweep * ramp
     pitch = 0.025 * np.sin(ts * 2 * np.pi / 57.0)
