@@ -65,6 +65,18 @@ def _tree_select(pred, a, b):
         jnp.reshape(pred, (1,) * x.ndim) if x.ndim else pred, x, y), a, b)
 
 
+def compact_mask(mask: jnp.ndarray, capacity: int) -> jnp.ndarray:
+    """Fixed-shape stream compaction: indices of the True entries of
+    ``mask`` [M], in ascending order, packed into a [capacity] int32 array
+    padded with -1. Entries beyond ``capacity`` are dropped (capacity
+    pressure, not an error). One cumsum + one scatter — O(M), no sort."""
+    m = mask.shape[0]
+    pos = jnp.cumsum(mask) - 1                                  # [M]
+    return jnp.full(capacity, -1, jnp.int32).at[
+        jnp.where(mask, pos, capacity)].set(
+        jnp.arange(m, dtype=jnp.int32), mode="drop")
+
+
 def scatter_links(base: jnp.ndarray, train_idx: jnp.ndarray,
                   values: jnp.ndarray) -> jnp.ndarray:
     """Scatter per-match values into per-keypoint slots, collision-safe.
@@ -237,10 +249,33 @@ def _step_track_impl(cfg: VOConfig, cam: Camera, st: S.VOState, img: jnp.ndarray
     candidates = st.map.valid & (p_cam[:, 2] > 0) & in_frame(proj, height, width)
     visible = st.map.visible + candidates.astype(jnp.int32)
 
+    # Candidate compaction (TPU sizing, round 4): the matcher matmul and
+    # the PnP hypothesis scoring both scale with the QUERY capacity, and
+    # running them over the full 4096-slot pool paid 4x for slots that are
+    # dead or out of frustum (the live map holds ~1000-1300 points under
+    # cull pressure). A fixed-shape cumsum scatter packs the candidate
+    # slots into a [C]-pool; C > the cull ceiling, so truncation is a
+    # capacity-pressure corner (highest slots dropped for this frame
+    # only). Reference semantics unchanged: candidate_mappoints_in_map,
+    # vo.cpp:16-49 — just a dense pool instead of a sparse scan.
+    M = st.map.pts.shape[0]
+    C = cfg.map.track_candidates
+    if C and C < M:
+        comp_idx = compact_mask(candidates, C)
+        comp_ok = comp_idx >= 0
+        comp_safe = jnp.maximum(comp_idx, 0)
+        cand_desc = st.map.desc[comp_safe]
+        cand_proj = proj[comp_safe]
+        cand_pts = st.map.pts[comp_safe]
+    else:
+        comp_idx = comp_safe = jnp.arange(M, dtype=jnp.int32)
+        comp_ok = candidates
+        cand_desc, cand_proj, cand_pts = st.map.desc, proj, st.map.pts
+
     # 3D-2D matching: map descriptors vs current frame, radius-gated around
     # the projected positions (vo.cpp:283-289)
     m = matching.match_features(
-        st.map.desc, feats.desc, candidates, feats.valid, proj, feats.kpts,
+        cand_desc, feats.desc, comp_ok, feats.valid, cand_proj, feats.kpts,
         method=cfg.match.method_index,
         max_pixel_dist=cfg.match.max_pixel_dist_pnp,
         xiang_gao_ratio=cfg.match.xiang_gao_match_ratio,
@@ -250,7 +285,7 @@ def _step_track_impl(cfg: VOConfig, cam: Camera, st: S.VOState, img: jnp.ndarray
     uv = feats.kpts[m.train_idx]
 
     res = pnp.solve_pnp_ransac(
-        st.map.pts, uv, m.valid, cam, k_pnp,
+        cand_pts, uv, m.valid, cam, k_pnp,
         threshold_px=cfg.ransac.pnp_reproj_threshold_px,
         n_hypotheses=cfg.ransac.pnp_n_hypotheses,
         min_inliers=cfg.ransac.pnp_min_inliers,
@@ -263,11 +298,13 @@ def _step_track_impl(cfg: VOConfig, cam: Camera, st: S.VOState, img: jnp.ndarray
     ok = res.ok & ~jump
     pose = jnp.where(ok, T_w_c_new, st.T_w_c)
 
-    # counters + PtConn links for this frame (vo.cpp:334-352)
-    matched_add = (res.inliers & ok).astype(jnp.int32)
+    # counters + PtConn links for this frame (vo.cpp:334-352); inliers are
+    # candidate-pool indexed — scatter back to pool slots
+    matched_add = jnp.zeros(M, jnp.int32).at[comp_safe].add(
+        (res.inliers & ok & comp_ok).astype(jnp.int32), mode="drop")
     new_map = st.map._replace(visible=visible, matched=st.map.matched + matched_add)
     k = cfg.orb.max_keypoints
-    map_slot = m.query_idx  # query side IS the map pool index
+    map_slot = comp_idx[m.query_idx]  # candidate pool -> map pool index
     curr_mp = scatter_links(jnp.full(k, -1, jnp.int32), m.train_idx,
                             jnp.where(res.inliers & ok, map_slot, -1))
 

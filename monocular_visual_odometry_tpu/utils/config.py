@@ -240,6 +240,20 @@ class MapConfig:
     max_view_angle_deg: float = 45.0
     frame_buffer: int = 20               # kBuffSize_
     max_keyframes: int = 64              # stored keyframe pose capacity
+    track_candidates: int = 1536         # tracking-time candidate pool: the
+                                         # in-frustum map points are
+                                         # compacted (fixed-shape cumsum
+                                         # scatter) to this capacity before
+                                         # the 3D-2D matcher and PnP, so
+                                         # their cost scales with the LIVE
+                                         # map (~1000-1300 points under
+                                         # cull pressure, vo.cpp:488-526),
+                                         # not the 4096-slot pool. 0
+                                         # disables compaction. Overflow
+                                         # beyond capacity drops the
+                                         # highest pool slots (newest
+                                         # insertions) for that frame only
+                                         # — they stay in the map.
 
 
 @dataclass(frozen=True)

@@ -150,6 +150,40 @@ def test_scatter_links_collision_safe():
     np.testing.assert_array_equal(np.asarray(keep), [4, -1])
 
 
+def test_compact_mask_packs_in_order():
+    """compact_mask (tracking candidate compaction, MapConfig.
+    track_candidates): True slots packed ascending, -1 padding, overflow
+    beyond capacity dropped from the top."""
+    from monocular_visual_odometry_tpu.models.vo import compact_mask
+
+    mask = jnp.array([False, True, True, False, True, False, True, True])
+    np.testing.assert_array_equal(
+        np.asarray(compact_mask(mask, 8)), [1, 2, 4, 6, 7, -1, -1, -1])
+    # capacity pressure: highest slots dropped, order preserved
+    np.testing.assert_array_equal(
+        np.asarray(compact_mask(mask, 3)), [1, 2, 4])
+    # empty mask -> all padding
+    np.testing.assert_array_equal(
+        np.asarray(compact_mask(jnp.zeros(5, bool), 4)), [-1, -1, -1, -1])
+
+
+def test_tracking_survives_candidate_overflow(sequence):
+    """A track_candidates capacity far below the live candidate count must
+    degrade (fewer correspondences that frame), never corrupt: the pipeline
+    keeps tracking and every PtConn link stays a valid pool slot."""
+    frames, gt = sequence
+    cfg = _small_cfg()
+    cfg = cfg.replace(map=dataclasses.replace(cfg.map, track_candidates=96))
+    eng = VOEngine(cfg, 480, 640)
+    for f in frames[:20]:
+        out = eng.add_frame(f)
+    assert int(eng.state.stage) == S.STAGE_TRACKING
+    assert np.isfinite(np.asarray(eng.state.T_w_c)).all()
+    links = np.asarray(eng.state.ring.mp_idx)
+    assert links.max() < cfg.map.max_map_points
+    assert links.min() >= -1
+
+
 def test_motion_model_velocity_state(sequence):
     """cfg.tracking.use_motion_model: after a successful tracked frame the
     state carries last_rel = inv(T_prev) @ T_curr (the constant-velocity
