@@ -50,10 +50,22 @@ class BAProblem(NamedTuple):
     frame_valid: jnp.ndarray  # [W] bool
 
 
-def gather_window(cfg: VOConfig, st: S.VOState) -> tuple[BAProblem, jnp.ndarray]:
+def gather_window(cfg: VOConfig, st: S.VOState,
+                  cam: Camera | None = None) -> tuple[BAProblem, jnp.ndarray]:
     """Extract the BA window from the ring buffer
     (callBundleAdjustment_'s frame collection, vo.cpp:395-453).
     Also returns the ring slots [W] for write-back (newest first).
+
+    When ``cam`` is given and ``cfg.ba.obs_gate_px`` > 0, observations
+    whose reprojection residual at the CURRENT (tracked) poses exceeds
+    the gate — or whose landmark sits behind the camera — are masked out
+    before the solve. Tracking hard-gates outlier links via RANSAC-PnP,
+    but ring links from older frames can go stale (map point moved by
+    culling-era noise, aliased match that once passed); under heavy
+    sensor noise those dragged the window and made BA WORSE than no-BA
+    (BA_ABLATION_r04.json, noise sigma=20). Same principle as ORB-SLAM's
+    chi2 outlier-edge removal between local-BA rounds; the reference's
+    g2o BA has no gate (g2o_ba.cpp:255-266), so 0 restores that.
 
     Two selection modes (cfg.ba.keyframe_window, jit-static):
 
@@ -99,6 +111,16 @@ def gather_window(cfg: VOConfig, st: S.VOState) -> tuple[BAProblem, jnp.ndarray]
         & st.map.valid[jnp.clip(pid, 0, st.map.valid.shape[0] - 1)]
     )
     pid_safe = jnp.clip(pid, 0, st.map.valid.shape[0] - 1)
+    if cam is not None and cfg.ba.obs_gate_px > 0:
+        X = st.map.pts[pid_safe]                                 # [W,K,3]
+        p = jnp.einsum("wij,wkj->wki", T_c_w[:, :3, :3], X) \
+            + T_c_w[:, None, :3, 3]
+        z = jnp.maximum(p[..., 2], 1e-6)
+        u = p[..., 0] / z * cam.fx + cam.cx
+        v = p[..., 1] / z * cam.fy + cam.cy
+        err2 = (u - obs_uv[..., 0]) ** 2 + (v - obs_uv[..., 1]) ** 2
+        valid = valid & (p[..., 2] > 0) & (
+            err2 < cfg.ba.obs_gate_px * cfg.ba.obs_gate_px)
     M = st.map.valid.shape[0]
     pt_used = jnp.zeros(M, bool).at[pid_safe.reshape(-1)].max(valid.reshape(-1))
     return (
@@ -349,6 +371,6 @@ def write_back(cfg: VOConfig, st: S.VOState, prob: BAProblem,
 def ba_update_state(cfg: VOConfig, cam: Camera, st: S.VOState) -> S.VOState:
     """Full BA step on the VO state: gather window, solve, write back poses
     (ring + current + reference if fresh) and landmarks functionally."""
-    prob, slots = gather_window(cfg, st)
+    prob, slots = gather_window(cfg, st, cam)
     T_c_w, pts, _ = ba_solve(cfg, cam, prob)
     return write_back(cfg, st, prob, slots, T_c_w, pts)

@@ -266,6 +266,6 @@ def ba_update_state_dist(cfg: VOConfig, cam: Camera, mesh: Mesh, st):
     single-device path, so VOEngine(mesh=...) is the default algorithm,
     sharded — not a different optimizer (round-2 verdict weak #4).
     """
-    prob, slots = BA.gather_window(cfg, st)
+    prob, slots = BA.gather_window(cfg, st, cam)
     T_c_w, pts, _ = dist_ba_solve(cfg, cam, mesh, prob)
     return BA.write_back(cfg, st, prob, slots, T_c_w, pts)

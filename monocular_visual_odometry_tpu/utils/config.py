@@ -193,6 +193,20 @@ class BAConfig:
                                          # no-BA) and 20 costs 23 fps for
                                          # 0.1% ATE (docs/PARITY.md)
     huber_delta: float = 3.0             # robust kernel width (pixels·sqrt(info))
+    obs_gate_px: float = 9.0             # hard residual gate on window
+                                         # observations at gather time
+                                         # (3x huber): tracking's RANSAC-PnP
+                                         # hard-gates outlier links but the
+                                         # windowed LM consumed EVERY ring
+                                         # link with only soft Huber
+                                         # weights, so under heavy sensor
+                                         # noise stale/aliased links DRAGGED
+                                         # the window (noise sigma=20: BA
+                                         # made ATE 0.8pp WORSE before the
+                                         # gate; BA_ABLATION_r04.json).
+                                         # Same principle as ORB-SLAM's
+                                         # chi2 edge removal in local BA.
+                                         # 0 disables (pre-r4 behavior).
     init_lambda: float = 1e-3
     deterministic: bool = False          # f64 accumulation of every Gram/
                                          # Schur/cost reduction. Purpose:
