@@ -388,6 +388,11 @@ def main() -> int:
         "ate_sim3_no_ba": round(ate3, 4) if ate3 is not None else None,
         "ba_ate_improvement": (round(1.0 - ate4 / max(ate3, 1e-9), 3)
                                if ate3 is not None else None),
+        # on the CLEAN benchmark this ablation is a variance-band tie by
+        # design (tracked poses already at the noise floor); the regime
+        # where BA demonstrably carries accuracy is measured separately —
+        # BA_ABLATION_r04.json (noise sigma=10: ATE 1.92->1.63%), docs/PARITY.md
+        "ba_ablation_note": "clean-sequence tie expected; see BA_ABLATION",
         "drift_final": round(float(drift[-1]), 4),
         "drift_p95": round(float(np.percentile(drift, 95)), 4),
         "gt_traj_length": round(metrics.trajectory_length(gt), 3),
