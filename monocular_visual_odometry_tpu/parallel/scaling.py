@@ -114,5 +114,138 @@ def measure(n_devices_list=(1, 2, 8), W=5, K=1024, M=4096, iterations=20,
     return out
 
 
+_DTYPE_BYTES = {"f32": 4, "f64": 8, "bf16": 2, "f16": 2,
+                "s32": 4, "u32": 4, "s8": 1, "u8": 1, "pred": 1}
+
+
+def collective_inventory(hlo_text: str, n: int) -> dict:
+    """Scan compiled SPMD HLO for collective instructions and convert their
+    RESULT shapes to per-device bytes moved over the interconnect, using
+    standard ring-algorithm factors:
+
+    - all-reduce on B result bytes      -> 2 * B * (N-1)/N  sent per device
+    - all-gather producing B_full bytes ->     B_full * (N-1)/N
+    - reduce-scatter with B_shard result->     B_shard * (N-1)
+    - collective-permute                ->     B
+
+    NOTE on loop bodies: collectives inside the LM scan appear ONCE in the
+    HLO while-body but execute once per iteration — this inventory is the
+    *static* op list used to verify the analytic per-iteration model in
+    comm_model(), not a total-traffic counter by itself."""
+    import re
+
+    factors = {
+        "all-reduce": lambda b: 2.0 * b * (n - 1) / n,
+        "all-gather": lambda b: b * (n - 1) / n,
+        "reduce-scatter": lambda b: b * (n - 1),
+        "collective-permute": lambda b: float(b),
+    }
+    pat = re.compile(
+        r"=\s*(\([^)]*\)|[a-z0-9]+\[[0-9,]*\]\S*)\s+"
+        r"(all-reduce|all-gather|reduce-scatter|collective-permute)")
+    shape_pat = re.compile(r"([a-z0-9]+)\[([0-9,]*)\]")
+    ops = []
+    for m in pat.finditer(hlo_text):
+        shapes, op = m.group(1), m.group(2)
+        nbytes = 0
+        for dt, dims in shape_pat.findall(shapes):
+            if dt not in _DTYPE_BYTES:
+                continue
+            el = 1
+            for d in dims.split(","):
+                if d:
+                    el *= int(d)
+            nbytes += el * _DTYPE_BYTES[dt]
+        ops.append({"op": op, "result_bytes": nbytes,
+                    "bytes_moved_per_device": round(factors[op](nbytes), 1)})
+    return {"n_collectives": len(ops), "ops": ops}
+
+
+def comm_model(W: int = 5, K: int = 1024, M: int = 4096,
+               n: int = 8) -> dict:
+    """Analytic per-LM-iteration interconnect bytes per device for the
+    dist_ba partition (observation columns + landmark blocks sharded on a
+    size-n mesh), with the ring factors above. Mirrors parallel.dist_ba's
+    collective schedule term by term; verified against the compiled-HLO
+    inventory (collective_inventory). VERDICT r3 weak #5: the >=80%
+    BASELINE target needs communication accounting, not just a FLOPs
+    partition that is trivially ~1.0."""
+    f_ar = 2.0 * (n - 1) / n
+    f_ag = (n - 1) / n
+    f_rs_full = (n - 1) / n          # applied to the FULL pre-scatter size
+    joint = {
+        # evaluate(): full_pts all-gather [M,3] f32
+        "all_gather_pts": 12 * M * f_ag,
+        # psum cost scalar + H_cc [W,6,6] + g_c [W,6]
+        "psum_cost_Hg": (4 + 144 * W + 24 * W) * f_ar,
+        # psum_scatter A [M,3,3], b [M,3], U [W,M,6,3] (full sizes)
+        "psum_scatter_A_b_U": (36 * M + 12 * M + 72 * W * M) * f_rs_full,
+        # build_step(): psum S_off [W,W,6,6] + g_corr [W,6]
+        "psum_schur": (144 * W * W + 24 * W) * f_ar,
+    }
+    joint["total_per_iteration"] = sum(joint.values())
+    fix = {
+        # pts never change in fix mode -> the all-gather is loop-invariant
+        # (hoisted out of the scan); per iteration only the camera Gram
+        # psums remain
+        "psum_cost_Hg": (4 + 144 * W + 24 * W) * f_ar,
+        "all_gather_pts_once": 12 * M * f_ag,
+    }
+    fix["total_per_iteration"] = fix["psum_cost_Hg"]
+    return {"mesh": n, "window": W, "obs_per_frame": K, "landmarks": M,
+            "joint_mode_bytes": {k: round(v, 1) for k, v in joint.items()},
+            "fix_points_bytes": {k: round(v, 1) for k, v in fix.items()}}
+
+
+def measure_comm(W=5, K=1024, M=4096, n=8, iterations=20) -> dict:
+    """Full communication-vs-compute account at the live shape: analytic
+    per-iteration bytes (comm_model), HLO collective inventory as the
+    cross-check, per-device FLOPs from XLA cost analysis, and the derived
+    bandwidth requirement for the BASELINE >=80% efficiency target."""
+    cfg = VOConfig()
+    cfg = cfg.replace(ba=dataclasses.replace(
+        cfg.ba, fix_map_points=False, window=W, iterations=iterations))
+    prob, cam = make_problem(W=W, K=K, M=M)
+    mesh = points_mesh(n)
+    solve = dist_ba.make_dist_ba(cfg, cam, mesh)
+    compiled = jax.jit(solve).lower(prob).compile()
+    ca = compiled.cost_analysis()
+    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+    flops_dev = float(ca.get("flops", float("nan"))) if ca else float("nan")
+    inv = collective_inventory(compiled.as_text(), n)
+    model = comm_model(W=W, K=K, M=M, n=n)
+    bytes_it = model["joint_mode_bytes"]["total_per_iteration"]
+    # XLA cost analysis counts the scan body once, so flops_dev is one
+    # iteration's work plus the outside-loop parts — the same granularity
+    # as bytes_it; their ratio is the partition's comm intensity.
+    intensity = bytes_it / flops_dev if flops_dev else float("nan")
+    # efficiency model: eff = t_comp/(t_comp + t_comm)
+    #   = 1 / (1 + intensity * R / Bw)  for compute rate R (FLOP/s/device)
+    #   and all-reduce bandwidth Bw (B/s/device); >=80% needs
+    #   Bw >= 4 * intensity * R.
+    # R_measured: the single-chip windowed BA achieves ~1e9 FLOP/s on this
+    # kernel class (2.7 ms for 2.7 MFLOP, BENCH_r04_preview); take a 10x
+    # headroom on top of that for the estimate.
+    R_meas, R_opt = 1e9, 1e10
+    out = {
+        "problem": model,
+        "flops_per_device_per_iteration_est": flops_dev,
+        "bytes_per_device_per_iteration": bytes_it,
+        "comm_intensity_bytes_per_flop": round(intensity, 3),
+        "hlo_collective_inventory": inv,
+        "efficiency_model": {
+            "formula": "eff = 1/(1 + intensity*R/Bw); 80% needs Bw >= 4*intensity*R",
+            "Bw_needed_for_80pct_at_R_measured_1e9": f"{4 * intensity * R_meas / 1e9:.1f} GB/s",
+            "Bw_needed_for_80pct_at_R_10x_headroom_1e10": f"{4 * intensity * R_opt / 1e9:.1f} GB/s",
+            "v5e_ici_reference": "~180 GB/s/chip usable all-reduce bandwidth "
+                                 "(2D torus, public v5e figures)",
+        },
+    }
+    return out
+
+
 if __name__ == "__main__":
-    print(json.dumps(measure(), indent=2))
+    out = measure()
+    out_comm = measure_comm()
+    print(json.dumps({"flops_partition": out, "communication": out_comm},
+                     indent=2))
