@@ -40,6 +40,10 @@ def main(argv=None) -> int:
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--output", default="output")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--viewer", action="store_true",
+                    help="write viewer.html — standalone interactive 3-D "
+                         "replay (orbit/zoom, arrow-key frame stepping, "
+                         "space to play), the live-PclViewer analogue")
     ap.add_argument("--animate", action="store_true",
                     help="also write trajectory.gif (incremental growing "
                          "trajectory + map cloud, like the reference's "
@@ -105,6 +109,7 @@ def main(argv=None) -> int:
     print(f"[cli] frame loader: {'native C++' if native_available() else 'python'}")
     timer = StageTimer()
     est = []
+    kf_frames = []
     t_start = time.perf_counter()
     with jax_trace(args.profile_dir), FrameLoader(paths, H, W) as loader:
         it = enumerate(loader)
@@ -119,6 +124,8 @@ def main(argv=None) -> int:
             with timer.time("vo_step"):
                 out = engine.add_frame(img)
             est.append(np.asarray(out.T_w_c))
+            if bool(out.is_keyframe):
+                kf_frames.append(i)
             print(format_step(i, out))
             if args.save_frames:
                 with timer.time("draw"):
@@ -158,6 +165,17 @@ def main(argv=None) -> int:
         out_path=os.path.join(args.output, "trajectory.png"),
         title=f"{len(est)} frames, {n_kf} keyframes, {len(map_pts)} map points")
     print(f"[cli] plot -> {plot}")
+    if args.viewer and len(est) > 0:
+        from monocular_visual_odometry_tpu.viz.viewer import export_viewer
+
+        html = export_viewer(
+            est, gt[: len(est)] if gt is not None else None,
+            map_pts=map_pts, map_gray=np.asarray(st.map.gray)[valid],
+            map_created_idx=created[valid],
+            keyframe_indices=np.asarray(kf_frames, int),
+            out_path=os.path.join(args.output, "viewer.html"),
+            title=f"tpu-mono-vo — {len(est)} frames")
+        print(f"[cli] interactive viewer -> {html}")
     if args.animate and len(est) > 2:
         gif = trajectory.animate_trajectory(
             est, gt[: len(est)] if gt is not None else None,
