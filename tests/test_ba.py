@@ -172,6 +172,59 @@ def test_huber_downweights_outlier_observations():
     assert after.max() < 0.02, after
 
 
+def test_obs_gate_masks_stale_links():
+    """BAConfig.obs_gate_px (round 4): window observations whose
+    reprojection residual at the tracked pose exceeds the gate — or whose
+    landmark is behind the camera — are masked at gather time; in-gate
+    observations and the ungated (obs_gate_px=0 / cam=None) path are
+    untouched. Regression for the noise-20 'BA worse than no-BA' finding
+    (BA_ABLATION_r04.json)."""
+    import dataclasses
+
+    from monocular_visual_odometry_tpu.models import state as S
+    from monocular_visual_odometry_tpu.ops.camera import Camera
+
+    cfg = VOConfig()
+    cfg = cfg.replace(ba=dataclasses.replace(
+        cfg.ba, keyframe_window=False, window=1, obs_gate_px=9.0))
+    cam = Camera.create(615.0, 615.0, 320.0, 240.0)
+    st = S.init_state(cfg)
+
+    pts = np.asarray(st.map.pts).copy()
+    valid = np.asarray(st.map.valid).copy()
+    pts[0] = [0.0, 0.0, 4.0]    # projects to (320, 240) under identity
+    pts[1] = [1.0, 0.0, 4.0]    # projects to (473.75, 240) — far
+    pts[2] = [0.0, 0.0, -4.0]   # behind the camera
+    valid[:3] = True
+    st = st._replace(map=st.map._replace(pts=jnp.asarray(pts),
+                                         valid=jnp.asarray(valid)))
+
+    kpts = np.asarray(st.ring.kpts[0]).copy()
+    links = np.full(kpts.shape[0], -1, np.int32)
+    kpts[0] = [320.0, 240.0]; links[0] = 0    # residual 0      -> kept
+    kpts[1] = [320.0, 240.0]; links[1] = 1    # residual ~154px -> gated
+    kpts[2] = [327.0, 240.0]; links[2] = 0    # residual 7px    -> kept
+    kpts[3] = [320.0, 240.0]; links[3] = 2    # behind camera   -> gated
+    ring = st.ring.push(0, jnp.eye(4), jnp.asarray(kpts),
+                        jnp.asarray(links), is_kf=True)
+    st = st._replace(ring=ring, frame_idx=jnp.asarray(1, jnp.int32))
+
+    prob, _ = BA.gather_window(cfg, st, cam)
+    ov = np.asarray(prob.obs_valid)[0]
+    assert ov[0] and ov[2], "in-gate observations must survive"
+    assert not ov[1], "154px stale link must be gated"
+    assert not ov[3], "behind-camera landmark must be gated"
+
+    # ungated paths: cam=None, or obs_gate_px=0 with cam given
+    for prob_u in (BA.gather_window(cfg, st)[0],
+                   BA.gather_window(cfg.replace(ba=dataclasses.replace(
+                       cfg.ba, keyframe_window=False, window=1,
+                       obs_gate_px=0.0)), st, cam)[0]):
+        ou = np.asarray(prob_u.obs_valid)[0]
+        assert ou[0] and ou[1] and ou[2] and ou[3], \
+            "ungated gather must keep every linked observation"
+
+
 class TestKeyframeWindowGather:
     """gather_window in keyframe-window mode (cfg.ba.keyframe_window):
     slot selection must pick the current frame + the newest keyframes,
