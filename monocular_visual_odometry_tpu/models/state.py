@@ -154,6 +154,12 @@ class StepOutput(NamedTuple):
     kpts: jnp.ndarray         # [K,2]
     kpt_valid: jnp.ndarray    # [K] bool
     kpt_inlier: jnp.ndarray   # [K] bool
+    # in-frustum map candidates BEFORE tracking-time compaction (0 outside
+    # the tracking stage). When this exceeds cfg.map.track_candidates, the
+    # highest pool slots are excluded from matching for that frame —
+    # sustained capacity pressure must be visible, not silent (ADVICE r4;
+    # the repo's no-silent-caps practice).
+    n_candidates: jnp.ndarray  # int32
 
 
 def empty_features(k: int) -> FrameFeatures:

@@ -122,6 +122,7 @@ def _step_first_impl(cfg: VOConfig, cam: Camera, st: S.VOState, img: jnp.ndarray
         used_homography=jnp.asarray(False), n_map_points=new.map.n_valid,
         kpts=feats.kpts, kpt_valid=feats.valid,
         kpt_inlier=jnp.zeros(k, bool),
+        n_candidates=jnp.asarray(0, jnp.int32),
     )
     return new, out
 
@@ -220,6 +221,7 @@ def _step_init_impl(cfg: VOConfig, cam: Camera, st: S.VOState, img: jnp.ndarray)
         is_keyframe=is_good, tracking_ok=jnp.asarray(True),
         used_homography=tv.used_homography, n_map_points=new.map.n_valid,
         kpts=feats.kpts, kpt_valid=feats.valid, kpt_inlier=kpt_inlier,
+        n_candidates=jnp.asarray(0, jnp.int32),
     )
     return new, out
 
@@ -332,6 +334,7 @@ def _step_track_impl(cfg: VOConfig, cam: Camera, st: S.VOState, img: jnp.ndarray
         is_keyframe=need_kf, tracking_ok=ok,
         used_homography=jnp.asarray(False), n_map_points=new_map.n_valid,
         kpts=feats.kpts, kpt_valid=feats.valid, kpt_inlier=kpt_inlier,
+        n_candidates=jnp.sum(candidates.astype(jnp.int32)),
     )
     return new, out, feats, curr_mp
 

@@ -131,7 +131,14 @@ def collective_inventory(hlo_text: str, n: int) -> dict:
     NOTE on loop bodies: collectives inside the LM scan appear ONCE in the
     HLO while-body but execute once per iteration — this inventory is the
     *static* op list used to verify the analytic per-iteration model in
-    comm_model(), not a total-traffic counter by itself."""
+    comm_model(), not a total-traffic counter by itself.
+
+    Async backends: one logical collective lowers to a -start/-done pair;
+    only the -start op is counted (the -done is excluded by the regex).
+    A -start's result tuple may alias the operand, so treat per-op bytes
+    from async HLO as an upper bound; the analytic model in comm_model()
+    is the precise account and this inventory is its cross-check on the
+    sync CPU-mesh HLO."""
     import re
 
     factors = {
@@ -140,9 +147,15 @@ def collective_inventory(hlo_text: str, n: int) -> dict:
         "reduce-scatter": lambda b: b * (n - 1),
         "collective-permute": lambda b: float(b),
     }
+    # \b(?!-) anchors the op name: async backends (TPU) emit
+    # all-reduce-start / all-reduce-done PAIRS for one logical collective;
+    # matching the bare prefix would count each pair twice (ADVICE r4).
+    # -start ops carry the operand/result shapes, -done ops are counted as
+    # zero-byte bookkeeping via the (?!-done) exclusion of -start only.
     pat = re.compile(
         r"=\s*(\([^)]*\)|[a-z0-9]+\[[0-9,]*\]\S*)\s+"
-        r"(all-reduce|all-gather|reduce-scatter|collective-permute)")
+        r"(all-reduce|all-gather|reduce-scatter|collective-permute)"
+        r"(?:-start)?\b(?!-)")
     shape_pat = re.compile(r"([a-z0-9]+)\[([0-9,]*)\]")
     ops = []
     for m in pat.finditer(hlo_text):
@@ -202,6 +215,14 @@ def measure_comm(W=5, K=1024, M=4096, n=8, iterations=20) -> dict:
     per-iteration bytes (comm_model), HLO collective inventory as the
     cross-check, per-device FLOPs from XLA cost analysis, and the derived
     bandwidth requirement for the BASELINE >=80% efficiency target."""
+    # points_mesh silently truncates to the available devices; without the
+    # host-platform flag a 1-device mesh would "cross-check" the n-device
+    # analytic model against an empty collective inventory (ADVICE r4).
+    if len(jax.devices()) < n:
+        raise RuntimeError(
+            f"measure_comm(n={n}) needs >= {n} devices, found "
+            f"{len(jax.devices())}; run with XLA_FLAGS="
+            f"--xla_force_host_platform_device_count={n} JAX_PLATFORMS=cpu")
     cfg = VOConfig()
     cfg = cfg.replace(ba=dataclasses.replace(
         cfg.ba, fix_map_points=False, window=W, iterations=iterations))

@@ -312,10 +312,65 @@ def _b(v: Any) -> bool:
     return bool(v)
 
 
+# Every flat key load_config consumes, plus the reference keys it accepts
+# and deliberately ignores (documented inline in the loader below). Used
+# for typo detection: the reference THROWS on a missing key
+# (/root/reference/src/basics/config.cpp:31-37; yaml.cpp:58-71 exits), so
+# a misspelled key there fails loudly; with defaults-based loading the
+# equivalent safety is an unknown-key warning.
+_KNOWN_FLAT_KEYS = {
+    "dataset_name", "dataset",
+    "max_num_imgs_to_proc", "save_predicted_traj_to", "output_folder",
+    # display-loop keys with no offline analogue (run_vo.cpp:103-109)
+    "is_pcl_wait_for_keypress", "cv_waitkey_time",
+    "number_of_keypoints_to_extract", "max_number_of_keypoints",
+    "scale_factor", "level_pyramid", "score_threshold",
+    # the reference reads one per-stage matcher index but uses only the
+    # flat one due to its own index bug (vo_addFrame.cpp:98, SURVEY.md §7)
+    "feature_match_method_index",
+    "feature_match_method_index_initialization",
+    "feature_match_method_index_triangulation",
+    "feature_match_method_index_pnp",
+    "xiang_gao_method_match_ratio", "lowe_method_dist_ratio",
+    "method_3_feature_dist_threshold",  # dead in the reference too
+    "max_matching_pixel_dist_in_initialization",
+    "max_matching_pixel_dist_in_triangulation",
+    "max_matching_pixel_dist_in_pnp",
+    "kpts_uniform_selection_grid_size",
+    "kpts_uniform_selection_max_pts_per_grid",
+    "findEssentialMat_prob",  # adaptive termination -> fixed batch
+    "findEssentialMat_threshold",
+    "min_triang_angle", "max_ratio_between_max_angle_and_median_angle",
+    "min_inlier_matches", "min_pixel_dist",
+    "min_median_triangulation_angle",
+    "assumed_mean_pts_depth_during_vo_init",
+    "min_dist_between_two_keyframes", "max_possible_dist_to_prev_keyframe",
+    "is_enable_ba", "num_prev_frames_to_opti_by_ba", "information_matrix",
+    "is_ba_fix_map_points", "UPDATE_MAP_PTS",
+}
+
+_KNOWN_SECTION_KEYS = {
+    "dataset_dir", "num_images", "camera_info.fx", "camera_info.fy",
+    "camera_info.cx", "camera_info.cy", "height", "width",
+    "is_draw_true_traj", "true_traj_filename",
+}
+
+
 def load_config(path: str | Path) -> VOConfig:
     """Load a YAML config.  Accepts both this framework's nested layout and
     the reference's flat layout (same key names, ``dataset_name`` section
-    selection as in run_vo.cpp:66-69)."""
+    selection as in run_vo.cpp:66-69).
+
+    Strictness (reference parity): a ``dataset_name`` that selects a
+    missing section raises ``KeyError`` (the reference exits,
+    yaml.cpp:58-71); unknown scalar keys raise a ``UserWarning`` (the
+    closest defaults-based analogue of the reference's throw-on-missing-key,
+    config.cpp:31-37 — a typo'd key must not silently fall back to the
+    default). Mapping-valued top-level keys are dataset sections and may
+    coexist unselected, as in the reference file.
+    """
+    import warnings
+
     with open(path) as f:
         text = f.read()
     # The reference files start with the cv::FileStorage "%YAML:1.0" directive,
@@ -323,8 +378,26 @@ def load_config(path: str | Path) -> VOConfig:
     lines = [ln for ln in text.splitlines() if not ln.startswith("%YAML")]
     raw = _yaml.safe_load("\n".join(lines)) or {}
 
+    for k, v in raw.items():
+        if isinstance(v, dict):
+            if k == "dataset":
+                continue  # validated by the DatasetConfig ctor below
+            unknown = set(v) - _KNOWN_SECTION_KEYS
+            if unknown:
+                warnings.warn(
+                    f"config {path}: unknown key(s) in dataset section "
+                    f"'{k}': {sorted(unknown)}", stacklevel=2)
+        elif k not in _KNOWN_FLAT_KEYS:
+            warnings.warn(f"config {path}: unknown key '{k}' "
+                          "(typo? it will have no effect)", stacklevel=2)
+
     ds = DatasetConfig()
-    if "dataset_name" in raw and raw.get(raw["dataset_name"]):
+    if "dataset_name" in raw:
+        if not isinstance(raw.get(raw["dataset_name"]), dict):
+            raise KeyError(
+                f"config {path}: dataset_name={raw['dataset_name']!r} "
+                "selects a section that does not exist "
+                "(reference behavior: Yaml::get_ exits, yaml.cpp:58-71)")
         sec = raw[raw["dataset_name"]]
         ds = DatasetConfig(
             dataset_dir=sec.get("dataset_dir", ""),
