@@ -126,6 +126,15 @@ def main(argv=None) -> int:
             est.append(np.asarray(out.T_w_c))
             if bool(out.is_keyframe):
                 kf_frames.append(i)
+            # tracking candidate-pool pressure must be visible, not silent
+            # (no-silent-caps; see MapConfig.track_candidates)
+            n_cand = int(out.n_candidates)
+            if cfg.map.track_candidates and n_cand > cfg.map.track_candidates:
+                print(f"[cli] WARNING frame {i}: {n_cand} in-frustum "
+                      f"candidates exceed track_candidates="
+                      f"{cfg.map.track_candidates}; newest "
+                      f"{n_cand - cfg.map.track_candidates} excluded from "
+                      "matching this frame")
             print(format_step(i, out))
             if args.save_frames:
                 with timer.time("draw"):

@@ -213,6 +213,50 @@ def undistort_image(img: np.ndarray, K: np.ndarray, dist: np.ndarray) -> np.ndar
     return out.astype(img.dtype if img.dtype != np.float64 else np.float64)
 
 
+def distort_image(img: np.ndarray, K: np.ndarray, dist: np.ndarray,
+                  iters: int = 5) -> np.ndarray:
+    """Apply lens distortion to an ideal (pinhole) image — the exact
+    inverse operation of :func:`undistort_image`, used to SIMULATE a raw
+    camera so the undistortion tool can be exercised in the loop
+    (VERDICT r4 next #6; the reference's real data path is raw camera ->
+    undistort_all_images.py -> pipeline, undistort_all_images.py:36-37).
+
+    For each distorted-image pixel we invert the Brown-Conrady forward
+    model by fixed-point iteration (x <- x_d_target via x = x_d/radial(x),
+    converges in ~3-5 iterations for moderate distortion) and bilinearly
+    sample the ideal image at the undistorted position. Composition
+    ``undistort_image(distort_image(img))`` is identity up to
+    interpolation blur (gated in tests/test_tools.py)."""
+    img = np.asarray(img, dtype=np.float64)
+    H, W = img.shape[:2]
+    k1 = dist[0] if len(dist) > 0 else 0.0
+    k2 = dist[1] if len(dist) > 1 else 0.0
+    p1 = dist[2] if len(dist) > 2 else 0.0
+    p2 = dist[3] if len(dist) > 3 else 0.0
+    us, vs = np.meshgrid(np.arange(W), np.arange(H))
+    xd = (us - K[0, 2]) / K[0, 0]
+    yd = (vs - K[1, 2]) / K[1, 1]
+    # fixed-point inversion of the forward distortion
+    x, y = xd.copy(), yd.copy()
+    for _ in range(iters):
+        r2 = x * x + y * y
+        radial = 1 + k1 * r2 + k2 * r2 * r2
+        dx = 2 * p1 * x * y + p2 * (r2 + 2 * x * x)
+        dy = p1 * (r2 + 2 * y * y) + 2 * p2 * x * y
+        x = (xd - dx) / radial
+        y = (yd - dy) / radial
+    uu = x * K[0, 0] + K[0, 2]
+    vu = y * K[1, 1] + K[1, 2]
+    u0 = np.clip(np.floor(uu).astype(int), 0, W - 2)
+    v0 = np.clip(np.floor(vu).astype(int), 0, H - 2)
+    fu = np.clip(uu - u0, 0, 1)
+    fv = np.clip(vu - v0, 0, 1)
+    out = (img[v0, u0] * (1 - fu) * (1 - fv) + img[v0, u0 + 1] * fu * (1 - fv)
+           + img[v0 + 1, u0] * (1 - fu) * fv + img[v0 + 1, u0 + 1] * fu * fv)
+    inside = (uu >= 0) & (uu <= W - 1) & (vu >= 0) & (vu <= H - 1)
+    return np.where(inside, out, 0.0)
+
+
 # ---------------------------------------------------------------------------
 # dataset renaming
 # ---------------------------------------------------------------------------

@@ -240,7 +240,11 @@ def _step_track_impl(cfg: VOConfig, cam: Camera, st: S.VOState, img: jnp.ndarray
     # over the whole pool). The reference projects with the stale previous
     # pose; with the constant-velocity model we PREDICT the current pose,
     # which keeps the radius gate centered under fast rotation (see
-    # TrackingConfig.use_motion_model).
+    # TrackingConfig.use_motion_model). With motion_gate_union the frustum
+    # and the matching radius accept the UNION of both projections —
+    # prediction covers steady rotation, the stale pose covers motion-model
+    # overshoot at turn reversals (TrackingConfig.motion_gate_union).
+    use_union = cfg.tracking.use_motion_model and cfg.tracking.motion_gate_union
     if cfg.tracking.use_motion_model:
         T_proj = st.T_w_c @ st.last_rel
     else:
@@ -249,6 +253,15 @@ def _step_track_impl(cfg: VOConfig, cam: Camera, st: S.VOState, img: jnp.ndarray
     p_cam = lie.transform_points(T_c_w_prev, st.map.pts)
     proj = cam2pixel(p_cam, cam)
     candidates = st.map.valid & (p_cam[:, 2] > 0) & in_frame(proj, height, width)
+    if use_union:
+        p_cam_s = lie.transform_points(lie.inv_T(st.T_w_c), st.map.pts)
+        proj_s = cam2pixel(p_cam_s, cam)
+        ok_s = (p_cam_s[:, 2] > 0) & in_frame(proj_s, height, width)
+        candidates = candidates | (st.map.valid & ok_s)
+        # a behind-camera projection is a mirror artifact: it must not
+        # ADMIT matches through the union radius gate — push it far away
+        proj_s = jnp.where(ok_s[:, None], proj_s, 1e9)
+        proj = jnp.where((p_cam[:, 2] > 0)[:, None], proj, 1e9)
     visible = st.map.visible + candidates.astype(jnp.int32)
 
     # Candidate compaction (TPU sizing, round 4): the matcher matmul and
@@ -269,10 +282,12 @@ def _step_track_impl(cfg: VOConfig, cam: Camera, st: S.VOState, img: jnp.ndarray
         cand_desc = st.map.desc[comp_safe]
         cand_proj = proj[comp_safe]
         cand_pts = st.map.pts[comp_safe]
+        cand_proj_alt = proj_s[comp_safe] if use_union else None
     else:
         comp_idx = comp_safe = jnp.arange(M, dtype=jnp.int32)
         comp_ok = candidates
         cand_desc, cand_proj, cand_pts = st.map.desc, proj, st.map.pts
+        cand_proj_alt = proj_s if use_union else None
 
     # 3D-2D matching: map descriptors vs current frame, radius-gated around
     # the projected positions (vo.cpp:283-289)
@@ -283,6 +298,7 @@ def _step_track_impl(cfg: VOConfig, cam: Camera, st: S.VOState, img: jnp.ndarray
         xiang_gao_ratio=cfg.match.xiang_gao_match_ratio,
         lowe_ratio=cfg.match.lowe_dist_ratio,
         ambiguity_ratio=cfg.match.method3_ambiguity_ratio,
+        kpts1_alt=cand_proj_alt,
     )
     uv = feats.kpts[m.train_idx]
 
@@ -515,6 +531,61 @@ def step_fused(cfg: VOConfig, cam: Camera, st: S.VOState, img: jnp.ndarray,
     with jax.default_matmul_precision("highest"):
         return jax.lax.switch(
             st.stage, [first_branch, init_branch, track_branch], st)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "height", "width"))
+def step_tracking_batched(cfg: VOConfig, cam: Camera, sts: S.VOState,
+                          imgs: jnp.ndarray, *, height: int, width: int):
+    """Steady-state MULTI-STREAM tracking step: one device dispatch advances
+    B independent, already-initialized VO streams by one frame each.
+
+    The general fused step cannot batch efficiently: under vmap,
+    ``lax.switch``/``lax.cond`` execute EVERY branch for the whole batch,
+    so a B-stream step pays init+track+BA+keyframe per frame and aggregate
+    fps stays flat (THROUGHPUT_r04.json: B=8 -> 1.0x). This specialization
+    removes the FSM entirely — valid once every stream has initialized
+    (stage == STAGE_TRACKING, the steady state of a serving deployment):
+
+    - tracking runs unconditionally;
+    - the windowed BA is computed unconditionally and applied by masked
+      select (exactly what the mesh path already does, step_fused);
+    - the keyframe update is computed unconditionally and applied by
+      masked select on ``is_keyframe``.
+
+    Per-frame work rises ~1.3x over the single-stream average (BA and the
+    keyframe update always execute), in exchange for B-fold batching of
+    every kernel. ``sts``/``imgs`` carry a leading [B] batch axis.
+    """
+
+    def one(st, img):
+        new, out, feats, curr_mp = _step_track_impl(
+            cfg, cam, st, img, height=height, width=width)
+        if cfg.ba.enabled:
+            from monocular_visual_odometry_tpu.models.ba import ba_update_state
+
+            new = _tree_select(out.tracking_ok,
+                               ba_update_state(cfg, cam, new), new)
+        kf_new = _keyframe_update_impl(cfg, cam, new, feats, curr_mp,
+                                       height=height, width=width)
+        new = _tree_select(out.is_keyframe, kf_new, new)
+        out = out._replace(T_w_c=new.T_w_c, n_map_points=new.map.n_valid)
+        return new, out
+
+    with jax.default_matmul_precision("highest"):
+        return jax.vmap(one)(sts, imgs)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "height", "width"))
+def run_sequences_batched(cfg: VOConfig, cam: Camera, sts: S.VOState,
+                          frames: jnp.ndarray, *, height: int, width: int):
+    """lax.scan of :func:`step_tracking_batched` over [B, N, H, W] frame
+    stacks — B streams, N steps, one dispatch."""
+
+    def body(s, imgs):
+        return step_tracking_batched(cfg, cam, s, imgs,
+                                     height=height, width=width)
+
+    return jax.lax.scan(body, sts, jnp.swapaxes(frames, 0, 1))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "height", "width", "mesh"))

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from monocular_visual_odometry_tpu.ops import lie
 from monocular_visual_odometry_tpu.ops.ransac import (
     hartley_normalize,
-    nullspace_via_eigh,
+    nullspace,
     sample_minimal_sets,
 )
 
@@ -58,7 +58,7 @@ def _eight_point(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
     A = jnp.stack(
         [u2 * u1, u2 * v1, u2, v2 * u1, v2 * v1, v2, u1, v1, ones], axis=-1
     )  # [..., M, 9]
-    e = nullspace_via_eigh(A)
+    e = nullspace(A)
     En = e.reshape(e.shape[:-1] + (3, 3))
     E = jnp.swapaxes(T2, -1, -2) @ En @ T1
     # project to essential manifold
@@ -152,8 +152,14 @@ def estimate_essential(
     refit = jax.vmap(lambda w: _weighted_eight_point(x1, x2, w))
     inl_cur = seeds
     for _ in range(4):
+        # a chain whose consensus set collapsed below the minimal sample
+        # size produces a rank-deficient (in the limit all-zero) system
+        # whose "model" can score PERFECTLY (E=0 makes every residual
+        # 0/eps=0) — guard the chain out instead of letting it win
+        n_sup = jnp.sum(inl_cur, axis=-1)                        # [2]
         E_cur = refit(inl_cur.astype(x1.dtype))                  # [2,3,3]
         s_cur, d2r = msac(E_cur)
+        s_cur = jnp.where(n_sup >= 8, s_cur, jnp.inf)
         inl_cur = (d2r < cap) & valid[None]
         c_best = jnp.argmin(s_cur)
         better = s_cur[c_best] <= s_best
@@ -174,7 +180,7 @@ def _weighted_eight_point(x1, x2, w):
         [u2 * u1, u2 * v1, u2, v2 * u1, v2 * v1, v2, u1, v1, jnp.ones_like(u1)],
         axis=-1,
     ) * w[..., None]
-    e = nullspace_via_eigh(A)
+    e = nullspace(A)
     En = e.reshape(3, 3)
     E = T2.T @ En @ T1
     U, s, Vt = jnp.linalg.svd(E)
@@ -397,7 +403,7 @@ def _four_point_h(p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
     r1 = jnp.stack([-u1, -v1, -o, z, z, z, u2 * u1, u2 * v1, u2], axis=-1)
     r2 = jnp.stack([z, z, z, -u1, -v1, -o, v2 * u1, v2 * v1, v2], axis=-1)
     A = jnp.concatenate([r1, r2], axis=-2)  # [..., 2M, 9]
-    h = nullspace_via_eigh(A)
+    h = nullspace(A)
     Hn = h.reshape(h.shape[:-1] + (3, 3))
     H = jnp.linalg.inv(T2) @ Hn @ T1
     return H / (H[..., 2:3, 2:3] + _EPS)
@@ -443,8 +449,11 @@ def estimate_homography(
     refit = jax.vmap(lambda w: _weighted_h(p1, p2, w))
     inl_cur = seeds
     for _ in range(4):
+        # degenerate-support guard — same rationale as estimate_essential
+        n_sup = jnp.sum(inl_cur, axis=-1)                        # [2]
         H_cur = refit(inl_cur.astype(p1.dtype))                  # [2,3,3]
         s_cur, d2r = msac(H_cur)
+        s_cur = jnp.where(n_sup >= 4, s_cur, jnp.inf)
         inl_cur = (d2r < cap) & valid[None]
         c_best = jnp.argmin(s_cur)
         better = s_cur[c_best] <= s_best
@@ -465,7 +474,7 @@ def _weighted_h(p1, p2, w):
     r1 = jnp.stack([-u1, -v1, -o, z, z, z, u2 * u1, u2 * v1, u2], axis=-1) * w[..., None]
     r2 = jnp.stack([z, z, z, -u1, -v1, -o, v2 * u1, v2 * v1, v2], axis=-1) * w[..., None]
     A = jnp.concatenate([r1, r2], axis=-2)
-    h = nullspace_via_eigh(A)
+    h = nullspace(A)
     Hn = h.reshape(3, 3)
     H = jnp.linalg.inv(T2) @ Hn @ T1
     return H / (H[2, 2] + _EPS)

@@ -143,6 +143,7 @@ def match_features(
     lowe_ratio: float = 0.8,
     dist_floor: float = 30.0,
     ambiguity_ratio: float = 1.0,
+    kpts1_alt: jnp.ndarray | None = None,
 ) -> Matches:
     """Match descriptor set 1 (query) against set 2 (train).
 
@@ -154,6 +155,14 @@ def match_features(
     - method 3: nearest neighbor within ``max_pixel_dist`` pixels, then the
       same xiang-gao threshold computed over the radius-matched set.
 
+    ``kpts1_alt`` (method 3 only): a SECOND query position per keypoint;
+    the radius gate passes if the train point is within ``max_pixel_dist``
+    of EITHER position. Tracking uses this to gate around the union of the
+    constant-velocity-predicted and the stale-pose projections — the
+    prediction centers the gate under fast steady rotation, the stale
+    projection covers motion-model overshoot at turn reversals
+    (docs/ROBUSTNESS.md, family B).
+
     Returns one match slot per query keypoint ([K1]-sized ``Matches``);
     duplicates per train index resolved to the best distance.
     """
@@ -161,7 +170,7 @@ def match_features(
     K2 = desc2.shape[0]
     max_pixel_dist = jnp.asarray(max_pixel_dist, dtype=jnp.float32)
 
-    if _use_pallas(K1, K2):
+    if _use_pallas(K1, K2) and kpts1_alt is None:
         # streaming MXU kernel: no [K1,K2] matrix in HBM
         from monocular_visual_odometry_tpu.ops.pallas.hamming import hamming_nn_top2
 
@@ -175,6 +184,8 @@ def match_features(
         if method == 3:
             assert kpts1 is not None and kpts2 is not None
             r2 = pixel_dist2_matrix(kpts1, kpts2)
+            if kpts1_alt is not None:
+                r2 = jnp.minimum(r2, pixel_dist2_matrix(kpts1_alt, kpts2))
             d = jnp.where(r2 <= max_pixel_dist * max_pixel_dist, d, _INF)
         best, second, train = top2_min(d)
 

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from monocular_visual_odometry_tpu.ops import lie
 from monocular_visual_odometry_tpu.ops.precision import f32_matmuls
 from monocular_visual_odometry_tpu.ops.camera import Camera, cam2pixel
-from monocular_visual_odometry_tpu.ops.ransac import nullspace_via_eigh, sample_minimal_sets
+from monocular_visual_odometry_tpu.ops.ransac import nullspace, sample_minimal_sets
 
 _EPS = 1e-9
 
@@ -57,7 +57,7 @@ def _dlt_p6(pts: jnp.ndarray, uv_n: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarr
     r1 = jnp.stack([X, Y, Z, o, z, z, z, z, -u * X, -u * Y, -u * Z, -u], axis=-1)
     r2 = jnp.stack([z, z, z, z, X, Y, Z, o, -v * X, -v * Y, -v * Z, -v], axis=-1)
     A = jnp.concatenate([r1, r2], axis=-2)            # [..., 2M, 12]
-    p = nullspace_via_eigh(A)                          # [..., 12]
+    p = nullspace(A)                          # [..., 12]
     Pn = p.reshape(p.shape[:-1] + (3, 4))
     # denormalize: P = T2^-1 @ Pn @ T3, with
     # T3 = [[s3*I, -s3*c3], [0, 1]],  T2^-1 = [[1/s2*I2, c2], [0, 1]]

@@ -170,6 +170,23 @@ class TrackingConfig:
                                          # Documented deviation; A/B'd on
                                          # the benchmark (no regression).
                                          # False = exact reference behavior.
+    motion_gate_union: bool = True       # with use_motion_model: gate the
+                                         # 3D-2D matching radius (and the
+                                         # frustum scan) around the UNION
+                                         # of the predicted and stale-pose
+                                         # projections. The prediction
+                                         # centers the gate under steady
+                                         # fast rotation; the stale
+                                         # projection covers constant-
+                                         # velocity overshoot at turn
+                                         # reversals — the measured failure
+                                         # of prediction-only gating on the
+                                         # adversarial trajectory
+                                         # (ROBUSTNESS_r04 bench_scene+
+                                         # adv_traj: 4.60% vs parity 2.94%).
+                                         # Ignored when use_motion_model is
+                                         # False (single stale gate =
+                                         # reference behavior).
 
 
 @dataclass(frozen=True)
@@ -208,6 +225,38 @@ class BAConfig:
                                          # chi2 edge removal in local BA.
                                          # 0 disables (pre-r4 behavior).
     init_lambda: float = 1e-3
+    regate_px: float = 3.0               # iterative chi2 re-gate: after the
+                                         # FIRST HALF of the LM iterations,
+                                         # observations whose reprojection
+                                         # residual at the CURRENT iterate
+                                         # exceeds this are masked out and
+                                         # the remaining iterations run on
+                                         # the survivors — ORB-SLAM's
+                                         # two-stage local BA (optimize,
+                                         # drop chi2 outlier edges,
+                                         # re-optimize). The gather-time
+                                         # obs_gate_px is evaluated against
+                                         # the PRE-solve tracked poses and
+                                         # cannot catch links that only
+                                         # reveal themselves as outliers
+                                         # once the window starts moving
+                                         # (ADVICE r4; BA_ABLATION_r04
+                                         # adversarial row: BA doubled end
+                                         # drift). 0 disables (r4 behavior).
+    max_pose_correction: float = 0.03    # trust region on the BA result:
+                                         # if the solved current-frame pose
+                                         # moved more than this from the
+                                         # tracked pose (pose_distance, same
+                                         # metric as the tracking jump
+                                         # reject vo.cpp:363-369), the
+                                         # whole window update is REJECTED.
+                                         # Windowed BA refines a pose that
+                                         # RANSAC-PnP already placed within
+                                         # noise; a correction at keyframe-
+                                         # spacing scale (0.03) means the
+                                         # window was dragged by stale/
+                                         # aliased links, not improved.
+                                         # 0 disables.
     deterministic: bool = False          # f64 accumulation of every Gram/
                                          # Schur/cost reduction. Purpose:
                                          # make the distributed and single-

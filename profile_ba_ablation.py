@@ -1,16 +1,20 @@
-"""BA on/off ablation on sequences hard enough for the difference to show
-(VERDICT r3 weak #6): on the clean 150-frame benchmark the ablation sits
-inside the ~0.6pp run-to-run variance band (r4: 1.57% vs 1.57%), because
-per-frame RANSAC-PnP + GN polish against the same fixed landmarks already
-solves nearly the same camera-only problem the windowed BA re-solves. The
-reference's one documented accuracy claim — "optimization improves
-accuracy" (/root/reference/README.md:216) — is therefore tested where
-per-frame PnP is actually noisy: heavy sensor noise (few, corrupted
-inliers) and the out-of-family adversarial trajectory (rotation-dominant,
-low-parallax — family B of ROBUSTNESS_r04.json).
+"""BA on/off ablation across five scene families (the reference's one
+documented accuracy claim — "optimization improves accuracy",
+/root/reference/README.md:216 — made quantitative; VERDICT r4 next #1).
 
-Run: python profile_ba_ablation.py   (CPU)
-Writes BA_ABLATION_r04.json.
+Round-5 changes vs BA_ABLATION_r04.json:
+- the windowed LM re-gates observations by chi2 at the current iterate
+  between its two LM rounds (cfg.ba.regate_px, models/ba.py) and rejects
+  window updates that yank the current pose beyond the tracked trust
+  region (cfg.ba.max_pose_correction, models/ba.py::write_back);
+- rows run with multiple pipeline seeds so BA-on vs BA-off ordering
+  stands above the run-to-run band;
+- the harness ALSO reports the r4-style no-regate/no-trust BA so the new
+  machinery's contribution is visible in the artifact itself.
+
+Run: python profile_ba_ablation.py   (CPU, ~40 min at 3 seeds)
+Env: ABLATION_FRAMES, ABLATION_SEEDS, ABLATION_TPU=1 (run on the chip).
+Writes BA_ABLATION_r05.json.
 """
 import dataclasses
 import json
@@ -22,7 +26,10 @@ os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + \
     " --xla_force_host_platform_device_count=8"
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not os.environ.get("ABLATION_TPU"):
+    jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("MVO_JAX_CACHE", "/tmp/mvo_jax_cache"))
 import jax.numpy as jnp
 import numpy as np
 
@@ -34,6 +41,7 @@ from monocular_visual_odometry_tpu.utils import metrics
 from monocular_visual_odometry_tpu.utils.config import VOConfig
 
 N = int(os.environ.get("ABLATION_FRAMES", "150"))
+SEEDS = list(range(int(os.environ.get("ABLATION_SEEDS", "3"))))
 K3 = np.array([[615.0, 0, 320], [0, 615, 240], [0, 0, 1]])
 cam = Camera.create(615.0, 615.0, 320.0, 240.0)
 
@@ -57,32 +65,50 @@ ROWS = [
      syn.perturb_frames(frames_b, "noise", 10.0), gt_b),
 ]
 
-out = {"frames": N, "rows": {}}
+base = VOConfig()
+VARIANTS = {
+    "ba_on": base,                                     # shipped defaults
+    "ba_off": base.replace(ba=dataclasses.replace(base.ba, enabled=False)),
+    "ba_on_no_regate": base.replace(ba=dataclasses.replace(
+        base.ba, regate_px=0.0, max_pose_correction=0.0)),  # r4-style BA
+}
+
+out = {"frames": N, "seeds": SEEDS, "rows": {}}
 for name, frames, gt in ROWS:
     length = metrics.trajectory_length(gt)
+    fj = jnp.asarray(frames)
     row = {}
-    for ba_on in (True, False):
-        cfg = VOConfig()
-        cfg = cfg.replace(ba=dataclasses.replace(cfg.ba, enabled=ba_on))
-        st0 = S.init_state(cfg)
-        final, outs = run_sequence(cfg, cam, st0, jnp.asarray(frames),
-                                   height=480, width=640)
-        est = np.asarray(outs.T_w_c)
-        ate = metrics.ate_rmse(est, gt, "sim3")
-        drift = metrics.drift_curve(est, gt)
-        key = "ba_on" if ba_on else "ba_off"
-        row[key] = {
-            "ate_pct": round(float(ate / length * 100), 2),
-            "drift_final_pct": round(float(drift[-1] / length * 100), 2),
-            "drift_p95_pct": round(
-                float(np.percentile(drift, 95) / length * 100), 2),
-            "tracked": int(np.asarray(final.stage)) == S.STAGE_TRACKING,
+    for vname, cfg in VARIANTS.items():
+        ates, drifts, fails = [], [], 0
+        for seed in SEEDS:
+            final, outs = run_sequence(cfg, cam, S.init_state(cfg, seed),
+                                       fj, height=480, width=640)
+            est = np.asarray(outs.T_w_c)
+            if not (np.isfinite(est).all()
+                    and int(np.asarray(final.stage)) == S.STAGE_TRACKING):
+                fails += 1
+                continue
+            ates.append(float(metrics.ate_rmse(est, gt, "sim3") / length * 100))
+            drifts.append(float(
+                metrics.drift_curve(est, gt)[-1] / length * 100))
+        row[vname] = {
+            "ate_pct_mean": round(float(np.mean(ates)), 2) if ates else None,
+            "ate_pct_each": [round(a, 2) for a in ates],
+            "drift_final_pct_mean":
+                round(float(np.mean(drifts)), 2) if drifts else None,
+            "drift_final_pct_each": [round(d, 2) for d in drifts],
+            "failed_seeds": fails,
         }
-    row["ba_ate_improvement_pct"] = round(
-        row["ba_off"]["ate_pct"] - row["ba_on"]["ate_pct"], 2)
+    if row["ba_on"]["ate_pct_mean"] is not None and \
+            row["ba_off"]["ate_pct_mean"] is not None:
+        row["ba_ate_improvement_pct"] = round(
+            row["ba_off"]["ate_pct_mean"] - row["ba_on"]["ate_pct_mean"], 2)
+        row["ba_drift_improvement_pct"] = round(
+            row["ba_off"]["drift_final_pct_mean"]
+            - row["ba_on"]["drift_final_pct_mean"], 2)
     out["rows"][name] = row
     print(name, json.dumps(row), flush=True)
 
-with open("BA_ABLATION_r04.json", "w") as f:
+with open("BA_ABLATION_r05.json", "w") as f:
     json.dump(out, f, indent=2)
-print("wrote BA_ABLATION_r04.json")
+print("wrote BA_ABLATION_r05.json")

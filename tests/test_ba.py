@@ -292,3 +292,86 @@ class TestKeyframeWindowGather:
         assert not valid[2:].any() # no other keyframes exist
         ids = self._gathered_x(prob)
         assert int(ids[0]) == 2 and int(ids[1]) == 0
+
+
+def test_regate_drops_moving_outliers():
+    """Iterative chi2 re-gate (cfg.ba.regate_px, VERDICT r4 next #1):
+    observations that only reveal themselves as outliers once the window
+    moves toward the solution must be dropped between LM rounds. We build
+    a problem whose outlier observations are CONSISTENT with the perturbed
+    initial poses (so a gather-time gate at the initial iterate would keep
+    them) but wrong for the true geometry."""
+    prob, cam, T_gt, pts_gt = _make_problem(
+        noise_px=0.3, pose_noise=0.02, seed=3)
+    # corrupt 20% of frame-0..4 observations with a 6-px bias — inside any
+    # sane gather gate, outside the 3-px re-gate once the solve converges
+    rng = np.random.default_rng(7)
+    uv = np.asarray(prob.obs_uv).copy()
+    W, K, _ = uv.shape
+    n_bad = K // 5
+    for w in range(W):
+        bad = rng.choice(K, n_bad, replace=False)
+        uv[w, bad] += rng.normal(0, 6.0, (n_bad, 2))
+    prob = prob._replace(obs_uv=jnp.asarray(uv))
+
+    cfg_no = _cfg(fix_points=True, iters=20).replace(
+        ba=dataclasses.replace(_cfg().ba, iterations=20, regate_px=0.0))
+    cfg_re = _cfg(fix_points=True, iters=20).replace(
+        ba=dataclasses.replace(_cfg().ba, iterations=20, regate_px=3.0))
+    T_no, _, _ = BA.ba_solve(cfg_no, cam, prob)
+    T_re, _, _ = BA.ba_solve(cfg_re, cam, prob)
+    err_no = _pose_errs(T_no, T_gt).max()
+    err_re = _pose_errs(T_re, T_gt).max()
+    # the re-gated solve must be strictly more accurate (the biased 20%
+    # drag the Huber-only solve) and land near GT
+    assert err_re < err_no, (err_re, err_no)
+    assert err_re < 5e-3, err_re
+
+
+def test_regate_keeps_min_links_per_frame():
+    """A frame whose pose is badly off must NOT be gated below the
+    reference's >=3-links rule (vo.cpp:421-427): if the re-gate would
+    leave fewer than 3 observations, the original mask is kept."""
+    prob, cam, T_gt, pts_gt = _make_problem(noise_px=0.0, pose_noise=0.0)
+    # yank frame 2 far off so EVERY residual at the first-round iterate
+    # exceeds the gate
+    from monocular_visual_odometry_tpu.ops import lie
+    T = np.asarray(prob.T_c_w).copy()
+    T[2] = np.asarray(
+        lie.se3_exp(jnp.asarray([0.5, 0.4, 0.0, 0.0, 0.0, 0.0]))) @ T[2]
+    prob = prob._replace(T_c_w=jnp.asarray(T))
+    cfg = _cfg(fix_points=True, iters=20)
+    T_opt, _, costs = BA.ba_solve(cfg, cam, prob)
+    # with the min-links fallback the frame keeps its observations and the
+    # LM pulls it back to GT
+    err = _pose_errs(T_opt, T_gt)
+    assert err[2] < 1e-2, err
+
+
+def test_trust_region_rejects_dragged_window():
+    """write_back trust region (cfg.ba.max_pose_correction): a solve that
+    moves the current pose beyond the gate must leave the state unchanged;
+    a small correction must be applied."""
+    from monocular_visual_odometry_tpu.models import state as S
+    from monocular_visual_odometry_tpu.ops import lie
+
+    cfg = VOConfig()
+    st = S.init_state(cfg)
+    st = st._replace(frame_idx=jnp.asarray(3, jnp.int32),
+                     T_w_c=jnp.eye(4, dtype=jnp.float32))
+    prob, slots = BA.gather_window(cfg, st)
+    W = cfg.ba.window
+    # fabricate a "solved" window whose current pose moved 0.2 (>> 0.03)
+    T_big = np.tile(np.eye(4, dtype=np.float32), (W, 1, 1))
+    T_big[0, 0, 3] = 0.2
+    big = BA.write_back(cfg, st, prob._replace(frame_valid=jnp.ones(W, bool)),
+                        slots, jnp.asarray(T_big), st.map.pts)
+    np.testing.assert_allclose(np.asarray(big.T_w_c), np.asarray(st.T_w_c))
+    # a small correction (0.01) is applied
+    T_small = np.tile(np.eye(4, dtype=np.float32), (W, 1, 1))
+    T_small[0, 0, 3] = 0.01
+    small = BA.write_back(cfg, st,
+                          prob._replace(frame_valid=jnp.ones(W, bool)),
+                          slots, jnp.asarray(T_small), st.map.pts)
+    # write_back returns inv(T_c_w) as the new pose
+    assert abs(float(small.T_w_c[0, 3]) - (-0.01)) < 1e-6
