@@ -164,11 +164,31 @@ def main() -> int:
 
         key = jax.random.PRNGKey(0)
         jax.block_until_ready(init_pair(stack[0], stack[3], key))  # compile
-        # pipelined timing (10 back-to-back calls, one sync): the per-call
-        # host->device sync on a tunnel-attached chip costs ~20 ms of pure
-        # RPC round trip that the device never sees; every other config
-        # amortizes dispatch the same way (scan), so config 1 must too to
-        # measure the device, not the tunnel
+
+        # DEVICE time via an on-device scan (20 iterations, one dispatch):
+        # this is how the real pipeline runs init — inside the whole-
+        # sequence lax.scan — so per-call host dispatch scheduling is not
+        # part of the work. The host-pipelined number (10 back-to-back
+        # async calls, one sync — the pre-r5 cfg1 timing) is reported in
+        # extras; the ~2.8 ms it adds is host-side dispatch, measured by
+        # the difference (r5: scan 6.5 ms vs piped 9.3 ms).
+        @jax.jit
+        def scan_init(i1, i2, k):
+            def body(c, _):
+                out = init_pair(i1 + c * 1e-20, i2, k)
+                chk = sum(jnp.sum(l).astype(jnp.float32)
+                          for l in jax.tree.leaves(out))
+                return c + chk * 1e-20, None
+            return jax.lax.scan(body, jnp.float32(0), None, length=20)[0]
+
+        jax.block_until_ready(scan_init(stack[0], stack[3], key))
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(scan_init(stack[0], stack[3], key))
+            times.append((time.perf_counter() - t0) / 20)
+        scan_ms = round(float(np.median(times)) * 1e3, 2)
+
         reps = 10
         times = []
         for _ in range(3):
@@ -176,13 +196,16 @@ def main() -> int:
             outs = [init_pair(stack[0], stack[3], key) for _ in range(reps)]
             jax.block_until_ready(outs[-1])
             times.append((time.perf_counter() - t0) / reps)
-        return round(float(np.median(times)) * 1e3, 2)
+        piped_ms = round(float(np.median(times)) * 1e3, 2)
+        return scan_ms, piped_ms
 
     v1 = _run_config("two_view_init_ms", _cfg1)
     if v1 is not None:
-        _emit({"metric": "two_view_init_ms", "value": v1, "unit": "ms",
+        scan_ms, piped_ms = v1
+        _emit({"metric": "two_view_init_ms", "value": scan_ms, "unit": "ms",
                "vs_baseline": None,
-               "extras": {"config": 1, "timing": "pipelined x10, single sync",
+               "extras": {"config": 1, "timing": "on-device scan x20",
+                          "host_pipelined_x10_ms": piped_ms,
                           "device": device}})
 
     # ---- scan helper -------------------------------------------------------

@@ -210,184 +210,195 @@ def ba_solve(cfg: VOConfig, cam: Camera, prob: BAProblem):
     huber = cfg.ba.huber_delta
     fix_points = cfg.ba.fix_map_points
 
-    def run_lm(prob, T0, pts0, lam0, n_iters):
-        """One LM round on a fixed observation mask. Returns the final
-        (T, pts, lam) and the accepted-cost trace [n_iters]."""
-        n_obs = jnp.maximum(jnp.sum(prob.obs_valid), 1)
+    regate = cfg.ba.regate_px > 0 and cfg.ba.iterations >= 2
+    n1 = cfg.ba.iterations // 2          # re-gate fires entering iteration n1
 
-        def cost_fn(T_c_w, pts):
-            p2 = prob._replace(T_c_w=T_c_w, pts=pts)
-            r, _, _ = _residuals_and_jacobians(p2, cam, info)
-            w = _robust_weights(r, prob.obs_valid, info, huber)
-            e2 = (r[..., 0] ** 2 * info[0, 0] + r[..., 1] ** 2 * info[1, 1]
-                  + 2.0 * r[..., 0] * r[..., 1] * info[0, 1])
-            return jnp.sum(w * e2)
+    def cost_fn(T_c_w, pts, valid):
+        p2 = prob._replace(T_c_w=T_c_w, pts=pts)
+        r, _, _ = _residuals_and_jacobians(p2, cam, info)
+        w = _robust_weights(r, valid, info, huber)
+        e2 = (r[..., 0] ** 2 * info[0, 0] + r[..., 1] ** 2 * info[1, 1]
+              + 2.0 * r[..., 0] * r[..., 1] * info[0, 1])
+        return jnp.sum(w * e2)
 
-        def lm_step(carry, _):
-            # cost_old is CARRIED (the accepted cost from the previous
-            # iteration — bit-identical to recomputing it, the LM state only
-            # changes on accept): one full residual pass per iteration saved,
-            # which matters because the 12-iteration chain is op-launch
-            # latency-bound on TPU, not FLOP-bound (MFU ~5e-6).
-            T_c_w, pts, lam, cost_old = carry
-            p2 = prob._replace(T_c_w=T_c_w, pts=pts)
-            r, J_c, J_p = _residuals_and_jacobians(p2, cam, info)
-            w = _robust_weights(r, prob.obs_valid, info, huber)
-
-            # per-observation weighted blocks; info folded into the 2-axis
-            Wr2 = jnp.einsum("ab,wkb->wka", info, r) * w[..., None]   # [W,K,2]
-            JcW = jnp.einsum("wkai,ab->wkbi", J_c, info) * w[..., None, None]
-            JpW = jnp.einsum("wkai,ab->wkbi", J_p, info) * w[..., None, None]
-
-            H_cc = jnp.einsum("wkai,wkaj->wij", JcW, J_c)             # [W,6,6]
-            g_c = jnp.einsum("wkai,wka->wi", J_c, Wr2)                # [W,6]
-
-            # frames that must not move: out-of-window slots, and (joint
-            # mode) the two oldest valid frames as the similarity-gauge
-            # anchor (the unfixed gauge is the likely root of the
-            # divergence the reference documents for joint optimization,
-            # doc/log.md:4-13).
-            fixed = ~prob.frame_valid
+    def lm_step(carry, i):
+        # cost_old is CARRIED (the accepted cost from the previous
+        # iteration — bit-identical to recomputing it, the LM state only
+        # changes on accept): one full residual pass per iteration saved,
+        # which matters because the 12-iteration chain is op-launch
+        # latency-bound on TPU, not FLOP-bound (MFU ~5e-6).
+        T_c_w, pts, lam, cost_old, valid, pt_used = carry
+        p2 = prob._replace(T_c_w=T_c_w, pts=pts)
+        r, J_c, J_p = _residuals_and_jacobians(p2, cam, info)
+        if regate:
+            # chi2 re-gate at iteration n1 (see docstring), formulated as
+            # SELECTS on the carried mask rather than a lax.cond branch:
+            # the gate is computed every iteration from the J-pass
+            # residuals already in hand (nearly free) and written into the
+            # carry only when i == n1. A cond-in-scan variant compiled
+            # 10x+ slower on the TPU backend; two unrolled scans were
+            # worse still.
+            err2 = r[..., 0] ** 2 + r[..., 1] ** 2
+            Rm = T_c_w[:, :3, :3]
+            z = (jnp.einsum("wij,wkj->wki", Rm, pts[prob.obs_pid])
+                 + T_c_w[:, None, :3, 3])[..., 2]
+            gate2 = jnp.asarray(cfg.ba.regate_px * cfg.ba.regate_px, dtype)
+            if cfg.ba.regate_sigma_mult > 0:
+                # noise-calibrated gate: mult * median residual at the
+                # current iterate (see BAConfig.regate_sigma_mult)
+                flat = jnp.sort(jnp.where(valid, err2, jnp.inf).reshape(-1))
+                nv = jnp.sum(valid)
+                med2 = flat[jnp.maximum((nv - 1) // 2, 0)]
+                med2 = jnp.where(jnp.isfinite(med2), med2, 0.0)
+                gate2 = jnp.maximum(
+                    gate2, cfg.ba.regate_sigma_mult ** 2 * med2)
+            keep = valid & (z > 0) & (err2 < gate2)
+            # never gate a frame below the reference's min-links rule (>=3
+            # links per BA frame, vo.cpp:421-427): if the re-gate would
+            # leave a frame under-constrained, keep its original mask
+            enough = jnp.sum(keep, axis=1) >= 3
+            keep = jnp.where(enough[:, None], keep, valid)
+            fire = i == n1
+            valid = jnp.where(fire, keep, valid)
             if not fix_points:
-                W_ = prob.frame_valid.shape[0]
-                order = jnp.arange(W_ - 1, -1, -1)
-                rev_valid = prob.frame_valid[order]
-                oldest = W_ - 1 - jnp.argmax(rev_valid)
-                second = W_ - 1 - jnp.argmax(
-                    rev_valid.at[W_ - 1 - oldest].set(False))
-                fixed = fixed | (jnp.arange(W_) == oldest) | (
-                    jnp.arange(W_) == second)
-            # freeze inside the linear system (huge stiffness), not post-hoc
-            # — post-solve zeroing leaves the coupled point updates
-            # inconsistent
-            H_cc = H_cc + jnp.where(fixed, 1e8, 0.0)[:, None, None] * jnp.eye(
-                6, dtype=r.dtype)[None]
-            g_c = jnp.where(fixed[:, None], 0.0, g_c)
+                pt_used_new = jnp.zeros(M, bool).at[
+                    prob.obs_pid.reshape(-1)].max(valid.reshape(-1))
+                pt_used = jnp.where(fire, pt_used_new, pt_used)
+            # the accepted cost must be re-based on the NEW mask at the
+            # current state — computable from the same residuals
+            w_k = _robust_weights(r, valid, info, huber)
+            e2k = (r[..., 0] ** 2 * info[0, 0] + r[..., 1] ** 2 * info[1, 1]
+                   + 2.0 * r[..., 0] * r[..., 1] * info[0, 1])
+            cost_old = jnp.where(fire, jnp.sum(w_k * e2k), cost_old)
+        n_obs = jnp.maximum(jnp.sum(valid), 1)
+        w = _robust_weights(r, valid, info, huber)
 
-            if fix_points:
-                Hd = H_cc + lam * jnp.broadcast_to(
-                    jnp.eye(6, dtype=r.dtype), H_cc.shape)
-                delta_c = -jnp.linalg.solve(Hd, g_c[..., None])[..., 0]
-                delta_p = jnp.zeros_like(pts)
-            else:
-                # scatter per-point blocks over the landmark pool
-                flat_pid = prob.obs_pid.reshape(-1)
-                Hpp_obs = jnp.einsum(
-                    "wkai,wkaj->wkij", JpW, J_p).reshape(-1, 3, 3)
-                gp_obs = jnp.einsum("wkai,wka->wki", J_p, Wr2).reshape(-1, 3)
-                A = jnp.zeros((M, 3, 3), r.dtype).at[flat_pid].add(Hpp_obs)
-                b_p = jnp.zeros((M, 3), r.dtype).at[flat_pid].add(gp_obs)
-                # Damping with a relative Tikhonov floor: a landmark seen
-                # from ~2 nearby cameras has a near-null depth direction;
-                # flooring the minimum eigenvalue at 1e-2*dmax bounds each
-                # block's condition number to O(3e2) (max eigenvalue <=
-                # trace ~ 3*dmax), so f32 summation-order noise (~1e-7
-                # relative on the Gram sums) passes through A^-1 attenuated
-                # to <=1e-4-level update disagreement between compilations
-                # — this is what lets test_dist_ba gate dist-vs-single
-                # agreement at 1e-2 instead of the 0.37 worst case observed
-                # at a 1e-4 floor. The extra damping only slows the
-                # near-null (barely observable) depth directions;
-                # convergence tests are unaffected.
-                dmax = jnp.maximum(
-                    A[:, jnp.arange(3), jnp.arange(3)].max(-1), 1e-12)
-                A = A + (lam + 1e-2 * dmax)[:, None, None] * jnp.eye(
-                    3, dtype=r.dtype)[None]
-                A = jnp.where(prob.pt_used[:, None, None], A,
-                              jnp.broadcast_to(
-                                  jnp.eye(3, dtype=r.dtype), A.shape))
-                A_inv = jnp.linalg.inv(A)                              # [M,3,3]
+        # per-observation weighted blocks; info folded into the 2-axis
+        Wr2 = jnp.einsum("ab,wkb->wka", info, r) * w[..., None]   # [W,K,2]
+        JcW = jnp.einsum("wkai,ab->wkbi", J_c, info) * w[..., None, None]
+        JpW = jnp.einsum("wkai,ab->wkbi", J_p, info) * w[..., None, None]
 
-                # camera-point coupling U[w,p] = sum_k Jc^T W Jp
-                U_obs = jnp.einsum("wkai,wkaj->wkij", JcW, J_p)        # [W,K,6,3]
-                U = jnp.zeros((W, M, 6, 3), r.dtype)
-                wk_idx = jnp.broadcast_to(
-                    jnp.arange(W, dtype=jnp.int32)[:, None],
-                    prob.obs_pid.shape)
-                U = U.at[wk_idx.reshape(-1), flat_pid].add(
-                    U_obs.reshape(-1, 6, 3))
+        H_cc = jnp.einsum("wkai,wkaj->wij", JcW, J_c)             # [W,6,6]
+        g_c = jnp.einsum("wkai,wka->wi", J_c, Wr2)                # [W,6]
 
-                # reduced camera system S = H_cc - U A^-1 U^T (coupled blocks)
-                UAinv = jnp.einsum("wpij,pjk->wpik", U, A_inv)         # [W,M,6,3]
-                S_off = jnp.einsum("wpik,vplk->wvil", UAinv, U)        # [W,W,6,6]
-                S = -S_off
-                diag = jnp.arange(W)
-                S = S.at[diag, diag].add(
-                    H_cc + lam * jnp.eye(6, dtype=r.dtype)[None])
-                g_red = g_c - jnp.einsum("wpik,pk->wi", UAinv, b_p)    # [W,6]
+        # frames that must not move: out-of-window slots, and (joint
+        # mode) the two oldest valid frames as the similarity-gauge
+        # anchor (the unfixed gauge is the likely root of the
+        # divergence the reference documents for joint optimization,
+        # doc/log.md:4-13).
+        fixed = ~prob.frame_valid
+        if not fix_points:
+            W_ = prob.frame_valid.shape[0]
+            order = jnp.arange(W_ - 1, -1, -1)
+            rev_valid = prob.frame_valid[order]
+            oldest = W_ - 1 - jnp.argmax(rev_valid)
+            second = W_ - 1 - jnp.argmax(
+                rev_valid.at[W_ - 1 - oldest].set(False))
+            fixed = fixed | (jnp.arange(W_) == oldest) | (
+                jnp.arange(W_) == second)
+        # freeze inside the linear system (huge stiffness), not post-hoc
+        # — post-solve zeroing leaves the coupled point updates
+        # inconsistent
+        H_cc = H_cc + jnp.where(fixed, 1e8, 0.0)[:, None, None] * jnp.eye(
+            6, dtype=r.dtype)[None]
+        g_c = jnp.where(fixed[:, None], 0.0, g_c)
 
-                S_full = S.transpose(0, 2, 1, 3).reshape(6 * W, 6 * W)
-                delta_c = -jnp.linalg.solve(
-                    S_full, g_red.reshape(-1)).reshape(W, 6)
-                # Zero the gauge-fixed frames BEFORE back-substitution: the
-                # 1e8 stiffness leaks delta_c[fixed] ~ |g_corr|/1e8
-                # (measured 4e-4, NOT negligible), and the landmark update
-                # must be consistent with the camera update actually
-                # applied. Back-substituting with the unzeroed delta_c was
-                # the round-3 "10.5% multihost cost gap": the dist solver
-                # zeroed first (correctly), this one didn't, and the two LMs
-                # genuinely solved different updates — at any precision.
-                # Root-caused in round 4 via f64 iterate comparison; see
-                # tests/test_dist_ba.py::test_single_vs_dist.
-                delta_c = jnp.where(fixed[:, None], 0.0, delta_c)
-                # back-substitute landmarks
-                rhs = b_p + jnp.einsum("wpij,wi->pj", U, delta_c)
-                delta_p = -jnp.einsum("pij,pj->pi", A_inv, rhs)
-                delta_p = jnp.where(prob.pt_used[:, None], delta_p, 0.0)
+        if fix_points:
+            Hd = H_cc + lam * jnp.broadcast_to(
+                jnp.eye(6, dtype=r.dtype), H_cc.shape)
+            delta_c = -jnp.linalg.solve(Hd, g_c[..., None])[..., 0]
+            delta_p = jnp.zeros_like(pts)
+        else:
+            # scatter per-point blocks over the landmark pool
+            flat_pid = prob.obs_pid.reshape(-1)
+            Hpp_obs = jnp.einsum(
+                "wkai,wkaj->wkij", JpW, J_p).reshape(-1, 3, 3)
+            gp_obs = jnp.einsum("wkai,wka->wki", J_p, Wr2).reshape(-1, 3)
+            A = jnp.zeros((M, 3, 3), r.dtype).at[flat_pid].add(Hpp_obs)
+            b_p = jnp.zeros((M, 3), r.dtype).at[flat_pid].add(gp_obs)
+            # Damping with a relative Tikhonov floor: a landmark seen
+            # from ~2 nearby cameras has a near-null depth direction;
+            # flooring the minimum eigenvalue at 1e-2*dmax bounds each
+            # block's condition number to O(3e2) (max eigenvalue <=
+            # trace ~ 3*dmax), so f32 summation-order noise (~1e-7
+            # relative on the Gram sums) passes through A^-1 attenuated
+            # to <=1e-4-level update disagreement between compilations
+            # — this is what lets test_dist_ba gate dist-vs-single
+            # agreement at 1e-2 instead of the 0.37 worst case observed
+            # at a 1e-4 floor. The extra damping only slows the
+            # near-null (barely observable) depth directions;
+            # convergence tests are unaffected.
+            dmax = jnp.maximum(
+                A[:, jnp.arange(3), jnp.arange(3)].max(-1), 1e-12)
+            A = A + (lam + 1e-2 * dmax)[:, None, None] * jnp.eye(
+                3, dtype=r.dtype)[None]
+            A = jnp.where(pt_used[:, None, None], A,
+                          jnp.broadcast_to(
+                              jnp.eye(3, dtype=r.dtype), A.shape))
+            A_inv = jnp.linalg.inv(A)                              # [M,3,3]
 
+            # camera-point coupling U[w,p] = sum_k Jc^T W Jp
+            U_obs = jnp.einsum("wkai,wkaj->wkij", JcW, J_p)        # [W,K,6,3]
+            U = jnp.zeros((W, M, 6, 3), r.dtype)
+            wk_idx = jnp.broadcast_to(
+                jnp.arange(W, dtype=jnp.int32)[:, None],
+                prob.obs_pid.shape)
+            U = U.at[wk_idx.reshape(-1), flat_pid].add(
+                U_obs.reshape(-1, 6, 3))
+
+            # reduced camera system S = H_cc - U A^-1 U^T (coupled blocks)
+            UAinv = jnp.einsum("wpij,pjk->wpik", U, A_inv)         # [W,M,6,3]
+            S_off = jnp.einsum("wpik,vplk->wvil", UAinv, U)        # [W,W,6,6]
+            S = -S_off
+            diag = jnp.arange(W)
+            S = S.at[diag, diag].add(
+                H_cc + lam * jnp.eye(6, dtype=r.dtype)[None])
+            g_red = g_c - jnp.einsum("wpik,pk->wi", UAinv, b_p)    # [W,6]
+
+            S_full = S.transpose(0, 2, 1, 3).reshape(6 * W, 6 * W)
+            delta_c = -jnp.linalg.solve(
+                S_full, g_red.reshape(-1)).reshape(W, 6)
+            # Zero the gauge-fixed frames BEFORE back-substitution: the
+            # 1e8 stiffness leaks delta_c[fixed] ~ |g_corr|/1e8
+            # (measured 4e-4, NOT negligible), and the landmark update
+            # must be consistent with the camera update actually
+            # applied. Back-substituting with the unzeroed delta_c was
+            # the round-3 "10.5% multihost cost gap": the dist solver
+            # zeroed first (correctly), this one didn't, and the two LMs
+            # genuinely solved different updates — at any precision.
+            # Root-caused in round 4 via f64 iterate comparison; see
+            # tests/test_dist_ba.py::test_single_vs_dist.
             delta_c = jnp.where(fixed[:, None], 0.0, delta_c)
-            T_new = jax.vmap(lambda d, T: lie.se3_exp(d) @ T)(delta_c, T_c_w)
-            pts_new = pts + delta_p
+            # back-substitute landmarks
+            rhs = b_p + jnp.einsum("wpij,wi->pj", U, delta_c)
+            delta_p = -jnp.einsum("pij,pj->pi", A_inv, rhs)
+            delta_p = jnp.where(pt_used[:, None], delta_p, 0.0)
 
-            cost_new = cost_fn(T_new, pts_new)
-            accept = cost_new < cost_old
-            T_c_w = jnp.where(accept, T_new, T_c_w)
-            pts = jnp.where(accept, pts_new, pts)
-            lam = jnp.where(accept, lam * 0.5, lam * 4.0)
-            # report the ACCEPTED state's cost (rejected proposals keep the
-            # old cost) so the costs trace is monotone and usable in
-            # assertions
-            cost_acc = jnp.where(accept, cost_new, cost_old)
-            return (T_c_w, pts, lam, cost_acc), cost_acc / n_obs
+        delta_c = jnp.where(fixed[:, None], 0.0, delta_c)
+        T_new = jax.vmap(lambda d, T: lie.se3_exp(d) @ T)(delta_c, T_c_w)
+        pts_new = pts + delta_p
 
-        cost0 = cost_fn(T0, pts0)
-        (T, pts, lam, _), costs = jax.lax.scan(
-            lm_step, (T0, pts0, lam0, cost0), None, length=n_iters)
-        return T, pts, lam, costs
+        cost_new = cost_fn(T_new, pts_new, valid)
+        accept = cost_new < cost_old
+        T_c_w = jnp.where(accept, T_new, T_c_w)
+        pts = jnp.where(accept, pts_new, pts)
+        lam = jnp.where(accept, lam * 0.5, lam * 4.0)
+        # report the ACCEPTED state's cost (rejected proposals keep the
+        # old cost) so the costs trace is monotone within each round and
+        # usable in assertions
+        cost_acc = jnp.where(accept, cost_new, cost_old)
+        return (T_c_w, pts, lam, cost_acc, valid, pt_used), cost_acc / n_obs
 
     # true-f32 contractions: the MXU's default one-pass-bf16 f32 matmul
     # corrupts the normal equations (see the note in models.vo.step_fused)
     with jax.default_matmul_precision("highest"):
-        lam0 = jnp.asarray(cfg.ba.init_lambda, dtype)
-        n_total = cfg.ba.iterations
-        if cfg.ba.regate_px > 0 and n_total >= 2:
-            n1 = n_total // 2
-            T, pts, lam, costs1 = run_lm(prob, prob.T_c_w, prob.pts, lam0, n1)
-            # chi2 re-gate at the CURRENT iterate: an observation survives
-            # if its landmark is in front of the camera and its residual is
-            # under the gate. pt_used shrinks with the mask so fully-gated
-            # landmarks drop out of the (joint-mode) Schur system.
-            p2 = prob._replace(T_c_w=T, pts=pts)
-            r, _, _ = _residuals_and_jacobians(p2, cam, info)
-            err2 = r[..., 0] ** 2 + r[..., 1] ** 2
-            Rm = T[:, :3, :3]
-            z = (jnp.einsum("wij,wkj->wki", Rm, pts[prob.obs_pid])
-                 + T[:, None, :3, 3])[..., 2]
-            keep = (prob.obs_valid & (z > 0)
-                    & (err2 < cfg.ba.regate_px * cfg.ba.regate_px))
-            # never gate a frame below the reference's min-links rule
-            # (>=3 links per BA frame, vo.cpp:421-427): if the re-gate
-            # would leave a frame under-constrained, keep its original mask
-            enough = jnp.sum(keep, axis=1) >= 3
-            keep = jnp.where(enough[:, None], keep, prob.obs_valid)
-            pt_used = jnp.zeros(M, bool).at[prob.obs_pid.reshape(-1)].max(
-                keep.reshape(-1))
-            prob2 = prob._replace(obs_valid=keep, pt_used=pt_used)
-            T, pts, lam, costs2 = run_lm(prob2, T, pts, lam, n_total - n1)
-            costs = jnp.concatenate([costs1, costs2])
-        else:
-            T, pts, lam, costs = run_lm(
-                prob, prob.T_c_w, prob.pts, lam0, n_total)
+        cost0 = cost_fn(prob.T_c_w, prob.pts, prob.obs_valid)
+        (T, pts, _, _, _, _), costs = jax.lax.scan(
+            lm_step,
+            (prob.T_c_w, prob.pts, jnp.asarray(cfg.ba.init_lambda, dtype),
+             cost0, prob.obs_valid, prob.pt_used),
+            jnp.arange(cfg.ba.iterations), length=cfg.ba.iterations,
+        )
     return (T.astype(jnp.float32), pts.astype(jnp.float32),
             costs.astype(jnp.float32))
 

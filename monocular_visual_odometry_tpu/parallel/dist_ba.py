@@ -94,162 +94,173 @@ def _dist_lm(cfg: VOConfig, cam: Camera, T_c_w0, obs_uv, obs_pid, obs_valid,
         second = W - 1 - jnp.argmax(rev_valid.at[W - 1 - oldest].set(False))
         fixed = fixed | (jnp.arange(W) == oldest) | (jnp.arange(W) == second)
 
-    def run_lm(obs_valid, pt_used_shard, T0, p0, lam0, n_iters):
-        """One LM round on a fixed (sharded) observation mask — mirrors
-        models.ba.ba_solve's run_lm so the re-gated two-round schedule is
-        identical between the dist and single-device solvers."""
-        n_obs = jnp.maximum(jax.lax.psum(jnp.sum(obs_valid), axis), 1)
+    regate = cfg.ba.regate_px > 0 and cfg.ba.iterations >= 2
+    n1 = cfg.ba.iterations // 2          # re-gate fires entering iteration n1
 
-        def cost_fn(T_c_w, p_shard):
-            # local robust cost over this device's observation slice, psum'd
-            pts = full_pts(p_shard)   # obs_pid is global — needs the full pool
-            r, _, _ = BA._residuals_and_jacobians(
-                local_problem(T_c_w, pts, obs_valid), cam, info)
-            w = BA._robust_weights(r, obs_valid, info, huber)
-            e2 = (r[..., 0] ** 2 * info[0, 0] + r[..., 1] ** 2 * info[1, 1]
-                  + 2.0 * r[..., 0] * r[..., 1] * info[0, 1])
-            return jax.lax.psum(jnp.sum(w * e2), axis)
+    def cost_fn(T_c_w, p_shard, valid):
+        # local robust cost over this device's observation slice, psum'd
+        pts = full_pts(p_shard)   # obs_pid is global — needs the full pool
+        r, _, _ = BA._residuals_and_jacobians(
+            local_problem(T_c_w, pts, valid), cam, info)
+        w = BA._robust_weights(r, valid, info, huber)
+        e2 = (r[..., 0] ** 2 * info[0, 0] + r[..., 1] ** 2 * info[1, 1]
+              + 2.0 * r[..., 0] * r[..., 1] * info[0, 1])
+        return jax.lax.psum(jnp.sum(w * e2), axis)
 
-        def lm_step(carry, _):
-            # cost_old carried from the previous iteration's accept — same
-            # latency optimization (and identical numerics) as models.ba
-            T_c_w, p_shard, lam, cost_old = carry
-            pts = full_pts(p_shard)
-            r, J_c, J_p = BA._residuals_and_jacobians(
-                local_problem(T_c_w, pts, obs_valid), cam, info)
-            w = BA._robust_weights(r, obs_valid, info, huber)
+    def lm_step(carry, i):
+        # cost_old carried from the previous iteration's accept — same
+        # latency optimization (and identical numerics) as models.ba
+        T_c_w, p_shard, lam, cost_old, valid, pt_used_shard = carry
+        pts = full_pts(p_shard)
+        r, J_c, J_p = BA._residuals_and_jacobians(
+            local_problem(T_c_w, pts, valid), cam, info)
+        if regate:
+            # chi2 re-gate at iteration n1, formulated as SELECTS on the
+            # carried mask (same select-not-cond structure and schedule as
+            # models.ba — a cond-in-scan compiled 10x+ slower on the TPU
+            # backend). All mask statistics are reduced over the mesh so
+            # every shard applies the identical decision.
+            err2 = r[..., 0] ** 2 + r[..., 1] ** 2
+            Rm = T_c_w[:, :3, :3]
+            z = (jnp.einsum("wij,wkj->wki", Rm, pts[obs_pid])
+                 + T_c_w[:, None, :3, 3])[..., 2]
+            gate2 = jnp.asarray(cfg.ba.regate_px * cfg.ba.regate_px, dtype)
+            if cfg.ba.regate_sigma_mult > 0:
+                # median of the GLOBAL residual set: all_gather the local
+                # [W,K/D] err2 slices (tiny) so every shard computes the
+                # identical gate
+                err2_full = jax.lax.all_gather(
+                    jnp.where(valid, err2, jnp.inf), axis, axis=1,
+                    tiled=True)                                 # [W,K]
+                flat = jnp.sort(err2_full.reshape(-1))
+                nv = jax.lax.psum(jnp.sum(valid), axis)
+                med2 = flat[jnp.maximum((nv - 1) // 2, 0)]
+                med2 = jnp.where(jnp.isfinite(med2), med2, 0.0)
+                gate2 = jnp.maximum(
+                    gate2, cfg.ba.regate_sigma_mult ** 2 * med2)
+            keep = valid & (z > 0) & (err2 < gate2)
+            # never gate a frame below the reference's >=3-links rule
+            enough = jax.lax.psum(jnp.sum(keep, axis=1), axis) >= 3   # [W]
+            keep = jnp.where(enough[:, None], keep, valid)
+            fire = i == n1
+            valid = jnp.where(fire, keep, valid)
+            if not fix_points:
+                used_part = jnp.zeros((M,), jnp.int32).at[
+                    obs_pid.reshape(-1)].add(
+                    valid.reshape(-1).astype(jnp.int32))
+                used_shard = jax.lax.psum_scatter(
+                    used_part, axis, scatter_dimension=0, tiled=True) > 0
+                pt_used_shard = jnp.where(fire, used_shard, pt_used_shard)
+            # re-base the accepted cost on the NEW mask at the current
+            # state, from the same residuals
+            w_k = BA._robust_weights(r, valid, info, huber)
+            e2k = (r[..., 0] ** 2 * info[0, 0] + r[..., 1] ** 2 * info[1, 1]
+                   + 2.0 * r[..., 0] * r[..., 1] * info[0, 1])
+            cost_old = jnp.where(
+                fire, jax.lax.psum(jnp.sum(w_k * e2k), axis), cost_old)
+        n_obs = jnp.maximum(jax.lax.psum(jnp.sum(valid), axis), 1)
+        w = BA._robust_weights(r, valid, info, huber)
 
-            Wr2 = jnp.einsum("ab,wkb->wka", info, r) * w[..., None]
-            JcW = jnp.einsum("wkai,ab->wkbi", J_c, info) * w[..., None, None]
+        Wr2 = jnp.einsum("ab,wkb->wka", info, r) * w[..., None]
+        JcW = jnp.einsum("wkai,ab->wkbi", J_c, info) * w[..., None, None]
 
-            # camera Gram blocks: local partial sums over this obs slice,
-            # reduced over the mesh (tiny: [W,6,6] + [W,6])
-            H_cc = jax.lax.psum(jnp.einsum("wkai,wkaj->wij", JcW, J_c), axis)
-            g_c = jax.lax.psum(jnp.einsum("wkai,wka->wi", J_c, Wr2), axis)
+        # camera Gram blocks: local partial sums over this obs slice,
+        # reduced over the mesh (tiny: [W,6,6] + [W,6])
+        H_cc = jax.lax.psum(jnp.einsum("wkai,wkaj->wij", JcW, J_c), axis)
+        g_c = jax.lax.psum(jnp.einsum("wkai,wka->wi", J_c, Wr2), axis)
 
-            H_cc = H_cc + jnp.where(fixed, 1e8, 0.0)[:, None, None] * jnp.eye(
-                6, dtype=r.dtype)[None]
-            g_c = jnp.where(fixed[:, None], 0.0, g_c)
+        H_cc = H_cc + jnp.where(fixed, 1e8, 0.0)[:, None, None] * jnp.eye(
+            6, dtype=r.dtype)[None]
+        g_c = jnp.where(fixed[:, None], 0.0, g_c)
 
-            if fix_points:
-                Hd = H_cc + lam * jnp.broadcast_to(jnp.eye(6, dtype=r.dtype),
-                                                   H_cc.shape)
-                delta_c = -jnp.linalg.solve(Hd, g_c[..., None])[..., 0]
-                delta_p = jnp.zeros_like(p_shard)
-            else:
-                JpW = jnp.einsum("wkai,ab->wkbi", J_p, info) * w[..., None, None]
-                # per-point blocks: scatter this device's observation
-                # contributions into full-[M] buffers (invalid obs carry w=0
-                # so they add zeros), then psum_scatter so each device
-                # receives the complete sums for exactly its own landmark
-                # block.
-                flat_pid = obs_pid.reshape(-1)
-                Hpp_obs = jnp.einsum(
-                    "wkai,wkaj->wkij", JpW, J_p).reshape(-1, 3, 3)
-                gp_obs = jnp.einsum("wkai,wka->wki", J_p, Wr2).reshape(-1, 3)
-                A_part = jnp.zeros((M, 3, 3), r.dtype).at[flat_pid].add(Hpp_obs)
-                b_part = jnp.zeros((M, 3), r.dtype).at[flat_pid].add(gp_obs)
-                U_obs = jnp.einsum("wkai,wkaj->wkij", JcW, J_p)    # [W,K/D,6,3]
-                wk_idx = jnp.broadcast_to(
-                    jnp.arange(W, dtype=jnp.int32)[:, None],
-                    obs_pid.shape).reshape(-1)
-                U_part = jnp.zeros((W, M, 6, 3), r.dtype).at[
-                    wk_idx, flat_pid].add(U_obs.reshape(-1, 6, 3))
-                A = jax.lax.psum_scatter(A_part, axis, scatter_dimension=0,
-                                         tiled=True)               # [M/D,3,3]
-                b_p = jax.lax.psum_scatter(b_part, axis, scatter_dimension=0,
-                                           tiled=True)             # [M/D,3]
-                U = jax.lax.psum_scatter(U_part, axis, scatter_dimension=1,
-                                         tiled=True)               # [W,M/D,6,3]
+        if fix_points:
+            Hd = H_cc + lam * jnp.broadcast_to(jnp.eye(6, dtype=r.dtype),
+                                               H_cc.shape)
+            delta_c = -jnp.linalg.solve(Hd, g_c[..., None])[..., 0]
+            delta_p = jnp.zeros_like(p_shard)
+        else:
+            JpW = jnp.einsum("wkai,ab->wkbi", J_p, info) * w[..., None, None]
+            # per-point blocks: scatter this device's observation
+            # contributions into full-[M] buffers (invalid obs carry w=0
+            # so they add zeros), then psum_scatter so each device
+            # receives the complete sums for exactly its own landmark
+            # block.
+            flat_pid = obs_pid.reshape(-1)
+            Hpp_obs = jnp.einsum(
+                "wkai,wkaj->wkij", JpW, J_p).reshape(-1, 3, 3)
+            gp_obs = jnp.einsum("wkai,wka->wki", J_p, Wr2).reshape(-1, 3)
+            A_part = jnp.zeros((M, 3, 3), r.dtype).at[flat_pid].add(Hpp_obs)
+            b_part = jnp.zeros((M, 3), r.dtype).at[flat_pid].add(gp_obs)
+            U_obs = jnp.einsum("wkai,wkaj->wkij", JcW, J_p)    # [W,K/D,6,3]
+            wk_idx = jnp.broadcast_to(
+                jnp.arange(W, dtype=jnp.int32)[:, None],
+                obs_pid.shape).reshape(-1)
+            U_part = jnp.zeros((W, M, 6, 3), r.dtype).at[
+                wk_idx, flat_pid].add(U_obs.reshape(-1, 6, 3))
+            A = jax.lax.psum_scatter(A_part, axis, scatter_dimension=0,
+                                     tiled=True)               # [M/D,3,3]
+            b_p = jax.lax.psum_scatter(b_part, axis, scatter_dimension=0,
+                                       tiled=True)             # [M/D,3]
+            U = jax.lax.psum_scatter(U_part, axis, scatter_dimension=1,
+                                     tiled=True)               # [W,M/D,6,3]
 
-                # relative Tikhonov floor — same formula as models.ba;
-                # agreement is up to f32 summation-order noise, bounded to
-                # ~1e-4 relative by the 1e-2 conditioning floor (see
-                # rationale in models/ba.py and the 20-seed gate in
-                # test_dist_ba)
-                dmax = jnp.maximum(
-                    A[:, jnp.arange(3), jnp.arange(3)].max(-1), 1e-12)
-                A = A + (lam + 1e-2 * dmax)[:, None, None] * jnp.eye(
-                    3, dtype=r.dtype)[None]
-                A = jnp.where(pt_used_shard[:, None, None], A,
-                              jnp.broadcast_to(
-                                  jnp.eye(3, dtype=r.dtype), A.shape))
-                A_inv = jnp.linalg.inv(A)
+            # relative Tikhonov floor — same formula as models.ba;
+            # agreement is up to f32 summation-order noise, bounded to
+            # ~1e-4 relative by the 1e-2 conditioning floor (see
+            # rationale in models/ba.py and the 20-seed gate in
+            # test_dist_ba)
+            dmax = jnp.maximum(
+                A[:, jnp.arange(3), jnp.arange(3)].max(-1), 1e-12)
+            A = A + (lam + 1e-2 * dmax)[:, None, None] * jnp.eye(
+                3, dtype=r.dtype)[None]
+            A = jnp.where(pt_used_shard[:, None, None], A,
+                          jnp.broadcast_to(
+                              jnp.eye(3, dtype=r.dtype), A.shape))
+            A_inv = jnp.linalg.inv(A)
 
-                # shard-local Schur elimination of the owned landmark block
-                UAinv = jnp.einsum("wpij,pjk->wpik", U, A_inv)
-                S_off = jax.lax.psum(
-                    jnp.einsum("wpik,vplk->wvil", UAinv, U), axis) # [W,W,6,6]
-                g_corr = jax.lax.psum(
-                    jnp.einsum("wpik,pk->wi", UAinv, b_p), axis)   # [W,6]
+            # shard-local Schur elimination of the owned landmark block
+            UAinv = jnp.einsum("wpij,pjk->wpik", U, A_inv)
+            S_off = jax.lax.psum(
+                jnp.einsum("wpik,vplk->wvil", UAinv, U), axis) # [W,W,6,6]
+            g_corr = jax.lax.psum(
+                jnp.einsum("wpik,pk->wi", UAinv, b_p), axis)   # [W,6]
 
-                S = -S_off
-                diag = jnp.arange(W)
-                S = S.at[diag, diag].add(
-                    H_cc + lam * jnp.eye(6, dtype=r.dtype)[None])
-                g_red = g_c - g_corr
-                S_full = S.transpose(0, 2, 1, 3).reshape(6 * W, 6 * W)
-                delta_c = -jnp.linalg.solve(
-                    S_full, g_red.reshape(-1)).reshape(W, 6)
-                delta_c = jnp.where(fixed[:, None], 0.0, delta_c)
-
-                rhs = b_p + jnp.einsum("wpij,wi->pj", U, delta_c)
-                delta_p = -jnp.einsum("pij,pj->pi", A_inv, rhs)
-                delta_p = jnp.where(pt_used_shard[:, None], delta_p, 0.0)
-
+            S = -S_off
+            diag = jnp.arange(W)
+            S = S.at[diag, diag].add(
+                H_cc + lam * jnp.eye(6, dtype=r.dtype)[None])
+            g_red = g_c - g_corr
+            S_full = S.transpose(0, 2, 1, 3).reshape(6 * W, 6 * W)
+            delta_c = -jnp.linalg.solve(
+                S_full, g_red.reshape(-1)).reshape(W, 6)
             delta_c = jnp.where(fixed[:, None], 0.0, delta_c)
-            T_new = jax.vmap(lambda d, T: lie.se3_exp(d) @ T)(delta_c, T_c_w)
-            p_new = p_shard + delta_p
-            cost_new = cost_fn(T_new, p_new)
-            accept = cost_new < cost_old
-            T_c_w = jnp.where(accept, T_new, T_c_w)
-            p_shard = jnp.where(accept, p_new, p_shard)
-            lam = jnp.where(accept, lam * 0.5, lam * 4.0)
-            cost_acc = jnp.where(accept, cost_new, cost_old)
-            return (T_c_w, p_shard, lam, cost_acc), cost_acc / n_obs
 
-        cost0 = cost_fn(T0, p0)
-        (T, p_shard, lam, _), costs = jax.lax.scan(
-            lm_step, (T0, p0, lam0, cost0), None, length=n_iters)
-        return T, p_shard, lam, costs
+            rhs = b_p + jnp.einsum("wpij,wi->pj", U, delta_c)
+            delta_p = -jnp.einsum("pij,pj->pi", A_inv, rhs)
+            delta_p = jnp.where(pt_used_shard[:, None], delta_p, 0.0)
+
+        delta_c = jnp.where(fixed[:, None], 0.0, delta_c)
+        T_new = jax.vmap(lambda d, T: lie.se3_exp(d) @ T)(delta_c, T_c_w)
+        p_new = p_shard + delta_p
+        cost_new = cost_fn(T_new, p_new, valid)
+        accept = cost_new < cost_old
+        T_c_w = jnp.where(accept, T_new, T_c_w)
+        p_shard = jnp.where(accept, p_new, p_shard)
+        lam = jnp.where(accept, lam * 0.5, lam * 4.0)
+        cost_acc = jnp.where(accept, cost_new, cost_old)
+        return ((T_c_w, p_shard, lam, cost_acc, valid, pt_used_shard),
+                cost_acc / n_obs)
 
     # true-f32 contractions: the MXU's default one-pass-bf16 f32 matmul
     # corrupts the normal equations (see the note in models.vo.step_fused)
     with jax.default_matmul_precision("highest"):
-        lam0 = jnp.asarray(cfg.ba.init_lambda, dtype)
-        n_total = cfg.ba.iterations
-        if cfg.ba.regate_px > 0 and n_total >= 2:
-            # two-round chi2 re-gate — the SAME schedule as the
-            # single-device solver (models.ba.ba_solve): first half of the
-            # iterations on the gather mask, re-gate at the current
-            # iterate, second half on the survivors. All mask statistics
-            # are reduced over the mesh so every shard applies the
-            # identical decision.
-            n1 = n_total // 2
-            T, p_shard, lam, costs1 = run_lm(
-                obs_valid, pt_used_shard, T_c_w0, pts_shard, lam0, n1)
-            pts = full_pts(p_shard)
-            r, _, _ = BA._residuals_and_jacobians(
-                local_problem(T, pts, obs_valid), cam, info)
-            err2 = r[..., 0] ** 2 + r[..., 1] ** 2
-            Rm = T[:, :3, :3]
-            z = (jnp.einsum("wij,wkj->wki", Rm, pts[obs_pid])
-                 + T[:, None, :3, 3])[..., 2]
-            keep = (obs_valid & (z > 0)
-                    & (err2 < cfg.ba.regate_px * cfg.ba.regate_px))
-            # never gate a frame below the reference's >=3-links rule
-            enough = jax.lax.psum(jnp.sum(keep, axis=1), axis) >= 3   # [W]
-            keep = jnp.where(enough[:, None], keep, obs_valid)
-            used_part = jnp.zeros((M,), jnp.int32).at[
-                obs_pid.reshape(-1)].add(keep.reshape(-1).astype(jnp.int32))
-            used_shard = jax.lax.psum_scatter(
-                used_part, axis, scatter_dimension=0, tiled=True) > 0  # [M/D]
-            T_c_w, p_shard, lam, costs2 = run_lm(
-                keep, used_shard, T, p_shard, lam, n_total - n1)
-            costs = jnp.concatenate([costs1, costs2])
-        else:
-            T_c_w, p_shard, lam, costs = run_lm(
-                obs_valid, pt_used_shard, T_c_w0, pts_shard, lam0, n_total)
+        cost0 = cost_fn(T_c_w0, pts_shard, obs_valid)
+        (T_c_w, p_shard, _, _, _, _), costs = jax.lax.scan(
+            lm_step,
+            (T_c_w0, pts_shard, jnp.asarray(cfg.ba.init_lambda, dtype),
+             cost0, obs_valid, pt_used_shard),
+            jnp.arange(cfg.ba.iterations), length=cfg.ba.iterations,
+        )
     return (T_c_w.astype(jnp.float32), p_shard.astype(jnp.float32),
             costs.astype(jnp.float32))
 

@@ -225,24 +225,50 @@ class BAConfig:
                                          # chi2 edge removal in local BA.
                                          # 0 disables (pre-r4 behavior).
     init_lambda: float = 1e-3
-    regate_px: float = 3.0               # iterative chi2 re-gate: after the
+    regate_px: float = 0.0               # iterative chi2 re-gate: after the
                                          # FIRST HALF of the LM iterations,
                                          # observations whose reprojection
                                          # residual at the CURRENT iterate
-                                         # exceeds this are masked out and
-                                         # the remaining iterations run on
-                                         # the survivors — ORB-SLAM's
+                                         # exceeds the gate are masked out
+                                         # and the remaining iterations run
+                                         # on the survivors — ORB-SLAM's
                                          # two-stage local BA (optimize,
                                          # drop chi2 outlier edges,
-                                         # re-optimize). The gather-time
-                                         # obs_gate_px is evaluated against
-                                         # the PRE-solve tracked poses and
-                                         # cannot catch links that only
-                                         # reveal themselves as outliers
-                                         # once the window starts moving
-                                         # (ADVICE r4; BA_ABLATION_r04
-                                         # adversarial row: BA doubled end
-                                         # drift). 0 disables (r4 behavior).
+                                         # re-optimize). Addresses the
+                                         # biased-window regime (ADVICE r4)
+                                         # where gather-time obs_gate_px —
+                                         # evaluated at the PRE-solve poses
+                                         # — cannot catch links that only
+                                         # become outliers once the window
+                                         # moves. MEASURED AND OFF BY
+                                         # DEFAULT (0): with the round-5
+                                         # frontend (union motion gate +
+                                         # exact nullspace) the stale-link
+                                         # pathology it targeted no longer
+                                         # appears, and an active gate cuts
+                                         # the long-baseline keyframe
+                                         # anchor links instead — ATE/drift
+                                         # regressions on the noise rows
+                                         # (BA_ABLATION_r05: noise20 ATE
+                                         # 1.95 -> 3.03 with a 3 px gate).
+                                         # regate_px is the FLOOR of the
+                                         # gate; see regate_sigma_mult.
+                                         # Unit-tested ON in test_ba.py for
+                                         # the biased-window case it's for.
+    regate_sigma_mult: float = 2.5       # the re-gate threshold is
+                                         # max(regate_px, mult * median
+                                         # residual at the current iterate)
+                                         # — noise-calibrated, like chi2
+                                         # with an estimated sigma. A FIXED
+                                         # 3 px gate under heavy sensor
+                                         # noise (sigma=20: inlier
+                                         # residuals 4-6 px) throws away
+                                         # good observations and made BA
+                                         # WORSE than no-BA (measured,
+                                         # BA_ABLATION r5 iteration); the
+                                         # median-relative gate keeps the
+                                         # bulk and cuts only the tail.
+                                         # 0 = fixed gate (regate_px only).
     max_pose_correction: float = 0.03    # trust region on the BA result:
                                          # if the solved current-frame pose
                                          # moved more than this from the

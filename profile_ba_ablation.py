@@ -3,14 +3,18 @@ documented accuracy claim — "optimization improves accuracy",
 /root/reference/README.md:216 — made quantitative; VERDICT r4 next #1).
 
 Round-5 changes vs BA_ABLATION_r04.json:
-- the windowed LM re-gates observations by chi2 at the current iterate
-  between its two LM rounds (cfg.ba.regate_px, models/ba.py) and rejects
-  window updates that yank the current pose beyond the tracked trust
-  region (cfg.ba.max_pose_correction, models/ba.py::write_back);
+- the round-5 frontend (exact block-2 nullspace, union motion gate) is
+  what makes BA help: the r4 failure modes (adversarial drift doubling,
+  noise-row regressions) do not reproduce on it;
+- a chi2 re-gate between LM rounds (cfg.ba.regate_px) was built, measured
+  across all five families, and REJECTED as a default — it cuts the
+  long-baseline keyframe anchor links and regresses the noise rows; the
+  artifact carries a ba_on_regate3 column so the decision is on record;
+- write_back rejects window updates that yank the current pose beyond a
+  trust region (cfg.ba.max_pose_correction; measured corrections are
+  <2e-3, so 0.03 is a pure safety net);
 - rows run with multiple pipeline seeds so BA-on vs BA-off ordering
-  stands above the run-to-run band;
-- the harness ALSO reports the r4-style no-regate/no-trust BA so the new
-  machinery's contribution is visible in the artifact itself.
+  stands above the run-to-run band.
 
 Run: python profile_ba_ablation.py   (CPU, ~40 min at 3 seeds)
 Env: ABLATION_FRAMES, ABLATION_SEEDS, ABLATION_TPU=1 (run on the chip).
@@ -67,13 +71,17 @@ ROWS = [
 
 base = VOConfig()
 VARIANTS = {
-    "ba_on": base,                                     # shipped defaults
+    "ba_on": base,                       # shipped defaults (regate off +
+                                         # trust-region safety net)
     "ba_off": base.replace(ba=dataclasses.replace(base.ba, enabled=False)),
-    "ba_on_no_regate": base.replace(ba=dataclasses.replace(
-        base.ba, regate_px=0.0, max_pose_correction=0.0)),  # r4-style BA
+    # the chi2 re-gate, measured and rejected as a default (see
+    # BAConfig.regate_px): kept in the artifact so the decision is visible
+    "ba_on_regate3": base.replace(ba=dataclasses.replace(
+        base.ba, regate_px=3.0)),
 }
 
-out = {"frames": N, "seeds": SEEDS, "rows": {}}
+out = {"frames": N, "seeds": SEEDS,
+       "device": str(jax.devices()[0]), "rows": {}}
 for name, frames, gt in ROWS:
     length = metrics.trajectory_length(gt)
     fj = jnp.asarray(frames)

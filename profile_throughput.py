@@ -82,11 +82,17 @@ for B in BATCHES:
             lambda s, f: run_sequence(cfg, cam, s, f, height=H, width=W)
         )(st0, frames)
 
+    def sync(o):
+        # host device_get of a reduced scalar: block_until_ready proved
+        # unreliable for B>=2 programs on the tunnel backend (reported
+        # physically impossible fps)
+        return float(jnp.sum(o.T_w_c))
+
     final, outs = run_batch(stack)
-    jax.block_until_ready(outs)
+    sync(outs)
     t0 = time.perf_counter()
     final, outs = run_batch(stack)
-    jax.block_until_ready(outs)
+    sync(outs)
     wall = time.perf_counter() - t0
     fps = B * N / wall
     if base_fps is None:
@@ -116,11 +122,11 @@ for B in BATCHES:
 
     final, outs = run_sequences_batched(cfg, cam, sts, frames,
                                         height=H, width=W)
-    jax.block_until_ready(outs)
+    float(jnp.sum(outs.T_w_c))
     t0 = time.perf_counter()
     final, outs = run_sequences_batched(cfg, cam, sts, frames,
                                         height=H, width=W)
-    jax.block_until_ready(outs)
+    float(jnp.sum(outs.T_w_c))
     wall = time.perf_counter() - t0
     fps = B * n_steps / wall
     if base_fps_t is None:
