@@ -467,6 +467,12 @@ def perturb_frames(frames: np.ndarray, kind: str, severity: float,
     - ``low_contrast``— contrast squeeze toward the frame mean by factor
                         ``severity`` (0..1; low-texture surfaces / flat
                         lighting — the axis that kills FAST threshold 20)
+    - ``jpeg``        — compression artifacts: blockwise 8x8 DCT
+                        quantization with a luminance table scaled by
+                        ``severity`` (1 ≈ JPEG quality ~50, 2 ≈ ~25) —
+                        blocking + ringing around edges, the dominant
+                        artifact of compressed camera streams that BRIEF
+                        comparisons see as structured descriptor noise
     """
     rng = np.random.default_rng(seed)
     out = frames.astype(np.float32).copy()
@@ -487,9 +493,47 @@ def perturb_frames(frames: np.ndarray, kind: str, severity: float,
     elif kind == "low_contrast":
         mean = out.mean(axis=(1, 2), keepdims=True)
         out = mean + float(severity) * (out - mean)
+    elif kind == "jpeg":
+        out = np.stack([_jpeg_artifacts(f, severity) for f in out])
     else:
         raise ValueError(f"unknown perturbation kind: {kind}")
     return np.clip(out, 0.0, 255.0).astype(np.float32)
+
+
+# the JPEG luminance quantization table (Annex K of the JPEG standard),
+# the quality-50 baseline; severity scales it
+_JPEG_Q50 = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99]], dtype=np.float64)
+
+
+def _jpeg_artifacts(img: np.ndarray, severity: float) -> np.ndarray:
+    """Blockwise 8x8 DCT quantization (the lossy core of JPEG, without the
+    entropy coding): introduces the blocking/ringing artifacts of a
+    compressed camera stream. severity scales the Q50 table."""
+    H, W = img.shape
+    Hp, Wp = (H + 7) // 8 * 8, (W + 7) // 8 * 8
+    padded = np.zeros((Hp, Wp), np.float64)
+    padded[:H, :W] = img
+    padded[H:, :W] = img[-1:, :]
+    padded[:, W:] = padded[:, W - 1:W]
+    # 8x8 DCT-II basis
+    k = np.arange(8)
+    C = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) * np.sqrt(2 / 8)
+    C[0] /= np.sqrt(2)
+    blocks = padded.reshape(Hp // 8, 8, Wp // 8, 8).transpose(0, 2, 1, 3)
+    coef = np.einsum("ab,ijbc,dc->ijad", C, blocks - 128.0, C)
+    q = np.maximum(_JPEG_Q50 * severity, 1.0)
+    coef = np.round(coef / q) * q
+    rec = np.einsum("ba,ijbc,cd->ijad", C, coef, C) + 128.0
+    out = rec.transpose(0, 2, 1, 3).reshape(Hp, Wp)
+    return out[:H, :W]
 
 
 # ---------------------------------------------------------------------------

@@ -57,6 +57,10 @@ MATRIX = [
     ("exposure", 1.0, 4.0, 12.0),      # auto-exposure hunting
     ("low_contrast", 0.5, 4.5, 13.0),  # flat lighting / weak texture
     ("low_contrast", 0.25, 4.5, 13.0), # 4x squeeze: adaptive FAST threshold
+    ("jpeg", 2.0, 4.5, 12.0),          # compressed stream (~quality 25):
+                                       # blocking/ringing as structured
+                                       # descriptor noise (measured 1.9-2.2%
+                                       # ATE, inliers 108->87)
 ]
 
 

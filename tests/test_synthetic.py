@@ -92,3 +92,19 @@ def test_photoconsistency_between_frames():
     # most sampled points should photo-match within interpolation error
     frac_close = (np.abs(a - b) < 40).mean()
     assert frac_close > 0.8, frac_close
+
+
+def test_jpeg_perturbation_shape_and_effect():
+    """JPEG-artifact perturbation (round 5): blockwise DCT quantization
+    must change the image (blocking/ringing), stay in range, and converge
+    to the original as severity -> 0."""
+    planes = syn.default_scene(0)
+    K = np.array([[307.0, 0, 160], [0, 307.0, 120], [0, 0, 1.0]])
+    img = syn.render_frame(np.eye(4), planes, K, height=240, width=320)
+    frames = img[None].astype(np.float32)
+    j2 = syn.perturb_frames(frames, "jpeg", 2.0)
+    assert j2.shape == frames.shape
+    assert j2.min() >= 0.0 and j2.max() <= 255.0
+    assert np.abs(j2 - frames).mean() > 1.0          # artifacts present
+    j_tiny = syn.perturb_frames(frames, "jpeg", 0.01)
+    assert np.abs(j_tiny - frames).mean() < np.abs(j2 - frames).mean()
