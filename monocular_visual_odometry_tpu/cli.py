@@ -110,6 +110,7 @@ def main(argv=None) -> int:
     timer = StageTimer()
     est = []
     kf_frames = []
+    ba_rejected_seen = 0
     t_start = time.perf_counter()
     with jax_trace(args.profile_dir), FrameLoader(paths, H, W) as loader:
         it = enumerate(loader)
@@ -135,6 +136,15 @@ def main(argv=None) -> int:
                       f"{cfg.map.track_candidates}; newest "
                       f"{n_cand - cfg.map.track_candidates} excluded from "
                       "matching this frame")
+            # likewise the BA trust region (cfg.ba.max_pose_correction):
+            # a persistently-firing gate silently turns BA into a no-op
+            n_rej = int(out.ba_rejected_total)
+            if n_rej > ba_rejected_seen:
+                print(f"[cli] WARNING frame {i}: BA window update rejected "
+                      f"by the trust region (total {n_rej}) — correction "
+                      f"exceeded ba.max_pose_correction="
+                      f"{cfg.ba.max_pose_correction}")
+                ba_rejected_seen = n_rej
             print(format_step(i, out))
             if args.save_frames:
                 with timer.time("draw"):

@@ -184,15 +184,34 @@ def chessboard_object_points(pattern_size=(8, 6), square: float = 1.0) -> np.nda
 # ---------------------------------------------------------------------------
 
 
+def _unpack_dist(dist) -> tuple:
+    """(k1, k2, p1, p2) from a Brown-Conrady coefficient vector of any
+    length <= 4 (missing terms are 0)."""
+    d = list(dist) + [0.0] * 4
+    return d[0], d[1], d[2], d[3]
+
+
+def _bilinear_sample(img: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Bilinear sample of ``img`` [H,W] at float pixel coords (u, v);
+    samples outside the image return 0 (shared by the undistort/distort
+    inverse-mapping pair)."""
+    H, W = img.shape[:2]
+    u0 = np.clip(np.floor(u).astype(int), 0, W - 2)
+    v0 = np.clip(np.floor(v).astype(int), 0, H - 2)
+    fu = np.clip(u - u0, 0, 1)
+    fv = np.clip(v - v0, 0, 1)
+    out = (img[v0, u0] * (1 - fu) * (1 - fv) + img[v0, u0 + 1] * fu * (1 - fv)
+           + img[v0 + 1, u0] * (1 - fu) * fv + img[v0 + 1, u0 + 1] * fu * fv)
+    inside = (u >= 0) & (u <= W - 1) & (v >= 0) & (v <= H - 1)
+    return np.where(inside, out, 0.0)
+
+
 def undistort_image(img: np.ndarray, K: np.ndarray, dist: np.ndarray) -> np.ndarray:
     """Radial (k1, k2[, p1, p2]) undistortion by inverse mapping + bilinear
     sampling (undistort_all_images.py replacement)."""
     img = np.asarray(img, dtype=np.float64)
     H, W = img.shape[:2]
-    k1 = dist[0] if len(dist) > 0 else 0.0
-    k2 = dist[1] if len(dist) > 1 else 0.0
-    p1 = dist[2] if len(dist) > 2 else 0.0
-    p2 = dist[3] if len(dist) > 3 else 0.0
+    k1, k2, p1, p2 = _unpack_dist(dist)
     us, vs = np.meshgrid(np.arange(W), np.arange(H))
     x = (us - K[0, 2]) / K[0, 0]
     y = (vs - K[1, 2]) / K[1, 1]
@@ -200,17 +219,8 @@ def undistort_image(img: np.ndarray, K: np.ndarray, dist: np.ndarray) -> np.ndar
     radial = 1 + k1 * r2 + k2 * r2 * r2
     xd = x * radial + 2 * p1 * x * y + p2 * (r2 + 2 * x * x)
     yd = y * radial + p1 * (r2 + 2 * y * y) + 2 * p2 * x * y
-    ud = xd * K[0, 0] + K[0, 2]
-    vd = yd * K[1, 1] + K[1, 2]
-    u0 = np.clip(np.floor(ud).astype(int), 0, W - 2)
-    v0 = np.clip(np.floor(vd).astype(int), 0, H - 2)
-    fu = np.clip(ud - u0, 0, 1)
-    fv = np.clip(vd - v0, 0, 1)
-    out = (img[v0, u0] * (1 - fu) * (1 - fv) + img[v0, u0 + 1] * fu * (1 - fv)
-           + img[v0 + 1, u0] * (1 - fu) * fv + img[v0 + 1, u0 + 1] * fu * fv)
-    inside = (ud >= 0) & (ud <= W - 1) & (vd >= 0) & (vd <= H - 1)
-    out = np.where(inside, out, 0.0)
-    return out.astype(img.dtype if img.dtype != np.float64 else np.float64)
+    return _bilinear_sample(img, xd * K[0, 0] + K[0, 2],
+                            yd * K[1, 1] + K[1, 2])
 
 
 def distort_image(img: np.ndarray, K: np.ndarray, dist: np.ndarray,
@@ -222,17 +232,14 @@ def distort_image(img: np.ndarray, K: np.ndarray, dist: np.ndarray,
     undistort_all_images.py -> pipeline, undistort_all_images.py:36-37).
 
     For each distorted-image pixel we invert the Brown-Conrady forward
-    model by fixed-point iteration (x <- x_d_target via x = x_d/radial(x),
-    converges in ~3-5 iterations for moderate distortion) and bilinearly
-    sample the ideal image at the undistorted position. Composition
+    model by fixed-point iteration (converges in ~3-5 iterations for
+    moderate distortion) and bilinearly sample the ideal image at the
+    undistorted position. Composition
     ``undistort_image(distort_image(img))`` is identity up to
     interpolation blur (gated in tests/test_tools.py)."""
     img = np.asarray(img, dtype=np.float64)
+    k1, k2, p1, p2 = _unpack_dist(dist)
     H, W = img.shape[:2]
-    k1 = dist[0] if len(dist) > 0 else 0.0
-    k2 = dist[1] if len(dist) > 1 else 0.0
-    p1 = dist[2] if len(dist) > 2 else 0.0
-    p2 = dist[3] if len(dist) > 3 else 0.0
     us, vs = np.meshgrid(np.arange(W), np.arange(H))
     xd = (us - K[0, 2]) / K[0, 0]
     yd = (vs - K[1, 2]) / K[1, 1]
@@ -245,16 +252,8 @@ def distort_image(img: np.ndarray, K: np.ndarray, dist: np.ndarray,
         dy = p1 * (r2 + 2 * y * y) + 2 * p2 * x * y
         x = (xd - dx) / radial
         y = (yd - dy) / radial
-    uu = x * K[0, 0] + K[0, 2]
-    vu = y * K[1, 1] + K[1, 2]
-    u0 = np.clip(np.floor(uu).astype(int), 0, W - 2)
-    v0 = np.clip(np.floor(vu).astype(int), 0, H - 2)
-    fu = np.clip(uu - u0, 0, 1)
-    fv = np.clip(vu - v0, 0, 1)
-    out = (img[v0, u0] * (1 - fu) * (1 - fv) + img[v0, u0 + 1] * fu * (1 - fv)
-           + img[v0 + 1, u0] * (1 - fu) * fv + img[v0 + 1, u0 + 1] * fu * fv)
-    inside = (uu >= 0) & (uu <= W - 1) & (vu >= 0) & (vu <= H - 1)
-    return np.where(inside, out, 0.0)
+    return _bilinear_sample(img, x * K[0, 0] + K[0, 2],
+                            y * K[1, 1] + K[1, 2])
 
 
 # ---------------------------------------------------------------------------

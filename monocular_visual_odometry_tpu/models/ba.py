@@ -449,6 +449,10 @@ def write_back(cfg: VOConfig, st: S.VOState, prob: BAProblem,
             lambda a, b: jnp.where(
                 jnp.reshape(ok, (1,) * a.ndim) if a.ndim else ok, a, b),
             new_st, st)
+        # count rejections so a trust gate that fires persistently is
+        # visible (StepOutput.ba_rejected_total; no-silent-caps practice)
+        new_st = new_st._replace(
+            ba_rejected=st.ba_rejected + (~ok).astype(jnp.int32))
     return new_st
 
 

@@ -133,6 +133,11 @@ class VOState(NamedTuple):
     # markers (pcl_display.cpp:16-29)
     kf_poses: jnp.ndarray     # [Kf,4,4] T_w_c at keyframe insertion
     kf_count: jnp.ndarray     # scalar int32 (total ever inserted)
+    # total BA window updates rejected by the write-back trust region
+    # (cfg.ba.max_pose_correction) — a silently-always-firing trust gate
+    # would turn BA into a paid no-op, so the count is surfaced through
+    # StepOutput.ba_rejected_total (no-silent-caps practice)
+    ba_rejected: jnp.ndarray  # scalar int32
 
 
 class StepOutput(NamedTuple):
@@ -154,6 +159,9 @@ class StepOutput(NamedTuple):
     kpts: jnp.ndarray         # [K,2]
     kpt_valid: jnp.ndarray    # [K] bool
     kpt_inlier: jnp.ndarray   # [K] bool
+    # running count of BA window updates rejected by the trust region
+    # (VOState.ba_rejected after this frame)
+    ba_rejected_total: jnp.ndarray  # int32
     # in-frustum map candidates BEFORE tracking-time compaction (0 outside
     # the tracking stage). When this exceeds cfg.map.track_candidates, the
     # highest pool slots are excluded from matching for that frame —
@@ -195,6 +203,7 @@ def init_state(cfg: VOConfig, seed: int = 0) -> VOState:
         kf_poses=jnp.tile(jnp.eye(4, dtype=jnp.float32),
                           (cfg.map.max_keyframes, 1, 1)),
         kf_count=jnp.asarray(0, jnp.int32),
+        ba_rejected=jnp.asarray(0, jnp.int32),
     )
 
 

@@ -122,6 +122,7 @@ def _step_first_impl(cfg: VOConfig, cam: Camera, st: S.VOState, img: jnp.ndarray
         used_homography=jnp.asarray(False), n_map_points=new.map.n_valid,
         kpts=feats.kpts, kpt_valid=feats.valid,
         kpt_inlier=jnp.zeros(k, bool),
+        ba_rejected_total=st.ba_rejected,
         n_candidates=jnp.asarray(0, jnp.int32),
     )
     return new, out
@@ -221,6 +222,7 @@ def _step_init_impl(cfg: VOConfig, cam: Camera, st: S.VOState, img: jnp.ndarray)
         is_keyframe=is_good, tracking_ok=jnp.asarray(True),
         used_homography=tv.used_homography, n_map_points=new.map.n_valid,
         kpts=feats.kpts, kpt_valid=feats.valid, kpt_inlier=kpt_inlier,
+        ba_rejected_total=st.ba_rejected,
         n_candidates=jnp.asarray(0, jnp.int32),
     )
     return new, out
@@ -350,6 +352,7 @@ def _step_track_impl(cfg: VOConfig, cam: Camera, st: S.VOState, img: jnp.ndarray
         is_keyframe=need_kf, tracking_ok=ok,
         used_homography=jnp.asarray(False), n_map_points=new_map.n_valid,
         kpts=feats.kpts, kpt_valid=feats.valid, kpt_inlier=kpt_inlier,
+        ba_rejected_total=st.ba_rejected,
         n_candidates=jnp.sum(candidates.astype(jnp.int32)),
     )
     return new, out, feats, curr_mp
@@ -515,7 +518,8 @@ def step_fused(cfg: VOConfig, cam: Camera, st: S.VOState, img: jnp.ndarray,
             lambda s: s,
             new,
         )
-        out = out._replace(T_w_c=new.T_w_c, n_map_points=new.map.n_valid)
+        out = out._replace(T_w_c=new.T_w_c, n_map_points=new.map.n_valid,
+                           ba_rejected_total=new.ba_rejected)
         return new, out
 
     # Geometry einsums/matmuls must be true f32: the TPU MXU's DEFAULT
@@ -568,7 +572,8 @@ def step_tracking_batched(cfg: VOConfig, cam: Camera, sts: S.VOState,
         kf_new = _keyframe_update_impl(cfg, cam, new, feats, curr_mp,
                                        height=height, width=width)
         new = _tree_select(out.is_keyframe, kf_new, new)
-        out = out._replace(T_w_c=new.T_w_c, n_map_points=new.map.n_valid)
+        out = out._replace(T_w_c=new.T_w_c, n_map_points=new.map.n_valid,
+                           ba_rejected_total=new.ba_rejected)
         return new, out
 
     with jax.default_matmul_precision("highest"):

@@ -170,6 +170,17 @@ def match_features(
     K2 = desc2.shape[0]
     max_pixel_dist = jnp.asarray(max_pixel_dist, dtype=jnp.float32)
 
+    if _use_pallas(K1, K2) and kpts1_alt is not None:
+        # the streaming kernel takes ONE query position; the union motion
+        # gate needs two. Falling back to the dense path must not be
+        # silent when the user explicitly opted into the kernel.
+        import warnings
+
+        warnings.warn(
+            "MVO_USE_PALLAS=1 but a union motion gate (kpts1_alt) is in "
+            "use — falling back to the dense matcher for this call. Set "
+            "tracking.motion_gate_union=False to keep the Pallas path.",
+            stacklevel=2)
     if _use_pallas(K1, K2) and kpts1_alt is None:
         # streaming MXU kernel: no [K1,K2] matrix in HBM
         from monocular_visual_odometry_tpu.ops.pallas.hamming import hamming_nn_top2

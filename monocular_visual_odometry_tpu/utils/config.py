@@ -462,18 +462,27 @@ def load_config(path: str | Path) -> VOConfig:
                 warnings.warn(
                     f"config {path}: unknown key(s) in dataset section "
                     f"'{k}': {sorted(unknown)}", stacklevel=2)
+        elif k == raw.get("dataset_name"):
+            pass  # the selected section, possibly empty ("matlab:")
         elif k not in _KNOWN_FLAT_KEYS:
             warnings.warn(f"config {path}: unknown key '{k}' "
                           "(typo? it will have no effect)", stacklevel=2)
 
     ds = DatasetConfig()
     if "dataset_name" in raw:
-        if not isinstance(raw.get(raw["dataset_name"]), dict):
+        if raw["dataset_name"] not in raw:
             raise KeyError(
                 f"config {path}: dataset_name={raw['dataset_name']!r} "
                 "selects a section that does not exist "
                 "(reference behavior: Yaml::get_ exits, yaml.cpp:58-71)")
-        sec = raw[raw["dataset_name"]]
+        # a PRESENT but empty section ("matlab:" with no keys) parses to
+        # None — that is not the reference's missing-key exit condition;
+        # load it as all-defaults
+        sec = raw[raw["dataset_name"]] or {}
+        if not isinstance(sec, dict):
+            raise KeyError(
+                f"config {path}: dataset section "
+                f"{raw['dataset_name']!r} is not a mapping")
         ds = DatasetConfig(
             dataset_dir=sec.get("dataset_dir", ""),
             num_images=int(sec.get("num_images", 150)),

@@ -81,11 +81,23 @@ def render(scene, gt):
 _CACHE = {}
 
 
-def frames_for(name, builder):
+def frames_for(name, builder, probe=None):
+    """Disk-cached rendered sequence. ``probe`` (optional) renders ONLY
+    frame 0; if it disagrees with the cached first frame the cache is
+    stale (renderer/scene/trajectory code changed) and the sequence is
+    re-rendered — the cache is keyed only by name+N, so without this
+    check a code change would silently feed old frames into the
+    artifact."""
     if name not in _CACHE:
         path = f"/tmp/mvo_rob5_{name}_{N}.npy"
         if os.path.exists(path):
-            _CACHE[name] = np.load(path)
+            cached = np.load(path)
+            if probe is None or np.array_equal(cached[0], probe()):
+                _CACHE[name] = cached
+            else:
+                print(f"cache {name} stale — regenerated", flush=True)
+                _CACHE[name] = builder()
+                np.save(path, _CACHE[name])
         else:
             _CACHE[name] = builder()
             np.save(path, _CACHE[name])
@@ -126,13 +138,20 @@ results = {"frames": N, "seeds": SEEDS, "families": {}}
 # ---- family B (seed-powered, 4 profiles) -----------------------------------
 gtA = syn.make_trajectory(N, seed=0, translation_step=0.05)
 gtB = syn.make_adversarial_trajectory(N)
+def _probe(scene_fn, gt):
+    return lambda: syn.render_frame(gt[0], scene_fn(), K3).astype(np.float32)
+
+
 combos = {
     "adv_scene+bench_traj": (
-        frames_for("advA", lambda: render(syn.adversarial_scene(), gtA)), gtA),
+        frames_for("advA", lambda: render(syn.adversarial_scene(), gtA),
+                   _probe(syn.adversarial_scene, gtA)), gtA),
     "bench_scene+adv_traj": (
-        frames_for("benchB", lambda: render(syn.default_scene(0), gtB)), gtB),
+        frames_for("benchB", lambda: render(syn.default_scene(0), gtB),
+                   _probe(lambda: syn.default_scene(0), gtB)), gtB),
     "adv_scene+adv_traj": (
-        frames_for("advB", lambda: render(syn.adversarial_scene(), gtB)), gtB),
+        frames_for("advB", lambda: render(syn.adversarial_scene(), gtB),
+                   _probe(syn.adversarial_scene, gtB)), gtB),
 }
 famB = {}
 for name, (frames, gt) in combos.items():
@@ -141,7 +160,8 @@ for name, (frames, gt) in combos.items():
 results["families"]["B_adversarial"] = famB
 
 # ---- benchmark sanity row (default must not regress the clean family) ------
-clean = frames_for("cleanA", lambda: render(syn.default_scene(0), gtA))
+clean = frames_for("cleanA", lambda: render(syn.default_scene(0), gtA),
+                   _probe(lambda: syn.default_scene(0), gtA))
 famA = {p: evaluate(clean, gtA, cfg) for p, cfg in PROFILES.items()}
 print("A clean", json.dumps(famA), flush=True)
 results["families"]["A_benchmark_clean"] = famA

@@ -50,11 +50,21 @@ H, W = 480, 640
 # B independent sequences: different seeds -> different scenes+trajectories
 max_b = max(BATCHES)
 CACHE = f"/tmp/mvo_throughput_frames_{N}_{max_b}.npz"
+stack_np = None
 if os.path.exists(CACHE):
     z = np.load(CACHE)
-    stack_np = z["frames"]
-    gts = [z[f"gt{b}"] for b in range(max_b)]
-else:
+    # staleness guard: the cache is keyed only by shape, so verify frame 0
+    # against a fresh render — any renderer/trajectory code change
+    # invalidates it instead of silently corrupting the artifact
+    probe = syn.render_frame(syn.make_trajectory(N, seed=0,
+                                                 translation_step=0.05)[0],
+                             syn.default_scene(0), K3).astype(np.float32)
+    if np.array_equal(z["frames"][0, 0], probe):
+        stack_np = z["frames"]
+        gts = [z[f"gt{b}"] for b in range(max_b)]
+    else:
+        print("frame cache stale (renderer changed) — regenerating", flush=True)
+if stack_np is None:
     seqs, gts = [], []
     for b in range(max_b):
         gt = syn.make_trajectory(N, seed=b, translation_step=0.05)

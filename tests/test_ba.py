@@ -340,7 +340,10 @@ def test_regate_keeps_min_links_per_frame():
     T[2] = np.asarray(
         lie.se3_exp(jnp.asarray([0.5, 0.4, 0.0, 0.0, 0.0, 0.0]))) @ T[2]
     prob = prob._replace(T_c_w=jnp.asarray(T))
-    cfg = _cfg(fix_points=True, iters=20)
+    # the re-gate must be ON for this test (shipped default is off)
+    cfg = _cfg(fix_points=True, iters=20).replace(
+        ba=dataclasses.replace(_cfg(iters=20).ba, regate_px=3.0))
+    assert cfg.ba.regate_px > 0
     T_opt, _, costs = BA.ba_solve(cfg, cam, prob)
     # with the min-links fallback the frame keeps its observations and the
     # LM pulls it back to GT
