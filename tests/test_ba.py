@@ -370,6 +370,8 @@ def test_trust_region_rejects_dragged_window():
     big = BA.write_back(cfg, st, prob._replace(frame_valid=jnp.ones(W, bool)),
                         slots, jnp.asarray(T_big), st.map.pts)
     np.testing.assert_allclose(np.asarray(big.T_w_c), np.asarray(st.T_w_c))
+    # the rejection is counted (StepOutput.ba_rejected_total observability)
+    assert int(big.ba_rejected) == int(st.ba_rejected) + 1
     # a small correction (0.01) is applied
     T_small = np.tile(np.eye(4, dtype=np.float32), (W, 1, 1))
     T_small[0, 0, 3] = 0.01
@@ -378,3 +380,4 @@ def test_trust_region_rejects_dragged_window():
                           slots, jnp.asarray(T_small), st.map.pts)
     # write_back returns inv(T_c_w) as the new pose
     assert abs(float(small.T_w_c[0, 3]) - (-0.01)) < 1e-6
+    assert int(small.ba_rejected) == int(st.ba_rejected)  # accepted: no count
