@@ -110,7 +110,8 @@ def main(argv=None) -> int:
     timer = StageTimer()
     est = []
     kf_frames = []
-    ba_rejected_seen = 0
+    # resume carries the historical rejection count — warn only on NEW ones
+    ba_rejected_seen = int(engine.state.ba_rejected)
     t_start = time.perf_counter()
     with jax_trace(args.profile_dir), FrameLoader(paths, H, W) as loader:
         it = enumerate(loader)

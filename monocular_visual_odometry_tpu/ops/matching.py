@@ -170,26 +170,17 @@ def match_features(
     K2 = desc2.shape[0]
     max_pixel_dist = jnp.asarray(max_pixel_dist, dtype=jnp.float32)
 
-    if _use_pallas(K1, K2) and kpts1_alt is not None:
-        # the streaming kernel takes ONE query position; the union motion
-        # gate needs two. Falling back to the dense path must not be
-        # silent when the user explicitly opted into the kernel.
-        import warnings
-
-        warnings.warn(
-            "MVO_USE_PALLAS=1 but a union motion gate (kpts1_alt) is in "
-            "use — falling back to the dense matcher for this call. Set "
-            "tracking.motion_gate_union=False to keep the Pallas path.",
-            stacklevel=2)
-    if _use_pallas(K1, K2) and kpts1_alt is None:
-        # streaming MXU kernel: no [K1,K2] matrix in HBM
+    if _use_pallas(K1, K2):
+        # streaming MXU kernel: no [K1,K2] matrix in HBM; kpts1_alt rides
+        # the kernel's second query-position operand (union radius gate)
         from monocular_visual_odometry_tpu.ops.pallas.hamming import hamming_nn_top2
 
         radius = max_pixel_dist if method == 3 else jnp.float32(1e6)
         uv1 = kpts1 if kpts1 is not None else jnp.zeros((K1, 2), jnp.float32)
         uv2 = kpts2 if kpts2 is not None else jnp.zeros((K2, 2), jnp.float32)
         best, second, train = hamming_nn_top2(
-            unpack_pm1(desc1), uv1, valid1, unpack_pm1(desc2), uv2, valid2, radius)
+            unpack_pm1(desc1), uv1, valid1, unpack_pm1(desc2), uv2, valid2,
+            radius, uv1_alt=kpts1_alt)
     else:
         d = hamming_matrix(desc1, desc2, valid1, valid2)
         if method == 3:

@@ -28,10 +28,16 @@ from jax.experimental.pallas import tpu as pltpu
 _BIG = 1e9
 
 
-def _kernel(q_desc_ref, q_uv_ref, q_valid_ref, t_desc_ref, t_uv_ref,
-            t_valid_ref, r2_ref, best_ref, second_ref, idx_ref):
+def _kernel(q_desc_ref, q_uv_ref, q_uv_alt_ref, q_valid_ref, t_desc_ref,
+            t_uv_ref, t_valid_ref, r2_ref, best_ref, second_ref, idx_ref):
     """One grid step: queries tile [TQ, 256] vs ALL train descriptors
-    (streamed in tiles of TT) — outputs per-query best/second/argmin."""
+    (streamed in tiles of TT) — outputs per-query best/second/argmin.
+
+    Each query carries TWO positions (q_uv, q_uv_alt); the radius gate
+    passes if the train point is within radius of EITHER — the union
+    motion gate (TrackingConfig.motion_gate_union). Callers without a
+    second position pass q_uv twice (identical gate, no extra cost class:
+    one more [TQ,TT] distance computation per tile on the VPU)."""
     TQ = q_desc_ref.shape[0]
     TT = 512
     K2 = t_desc_ref.shape[0]
@@ -39,6 +45,7 @@ def _kernel(q_desc_ref, q_uv_ref, q_valid_ref, t_desc_ref, t_uv_ref,
 
     q = q_desc_ref[:]                       # [TQ,256] int8
     qu = q_uv_ref[:]                        # [TQ,2] f32
+    qa = q_uv_alt_ref[:]                    # [TQ,2] f32
     qv = q_valid_ref[:]                     # [TQ,1] bool-as-int32
     r2 = r2_ref[0, 0]
 
@@ -55,6 +62,9 @@ def _kernel(q_desc_ref, q_uv_ref, q_valid_ref, t_desc_ref, t_uv_ref,
         du = qu[:, 0:1] - tu[:, 0][None, :]
         dv = qu[:, 1:2] - tu[:, 1][None, :]
         pix2 = du * du + dv * dv
+        dua = qa[:, 0:1] - tu[:, 0][None, :]
+        dva = qa[:, 1:2] - tu[:, 1][None, :]
+        pix2 = jnp.minimum(pix2, dua * dua + dva * dva)
         ok = (pix2 <= r2) & (tv[:, 0][None, :] != 0) & (qv[:, 0][:, None] != 0)
         d = jnp.where(ok, d, _BIG)
 
@@ -83,17 +93,22 @@ def _kernel(q_desc_ref, q_uv_ref, q_valid_ref, t_desc_ref, t_uv_ref,
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def hamming_nn_top2(desc1_pm1: jnp.ndarray, uv1: jnp.ndarray, valid1: jnp.ndarray,
                     desc2_pm1: jnp.ndarray, uv2: jnp.ndarray, valid2: jnp.ndarray,
-                    max_pixel_dist: jnp.ndarray, *, interpret: bool = False):
+                    max_pixel_dist: jnp.ndarray, uv1_alt: jnp.ndarray | None = None,
+                    *, interpret: bool = False):
     """Per-query nearest + second-nearest Hamming match with radius gating.
 
     desc*_pm1: [K, 256] int8 in {-1, +1}. K1 must be a multiple of 128 and
     K2 a multiple of 512 (the fixed capacities are powers of two).
+    ``uv1_alt`` is an optional SECOND query position per keypoint — the
+    radius gate accepts the union of both (see _kernel).
     Returns (best [K1], second [K1], idx [K1] int32).
     """
     K1 = desc1_pm1.shape[0]
     K2 = desc2_pm1.shape[0]
     TQ = 128
     assert K1 % TQ == 0 and K2 % 512 == 0, (K1, K2)
+    if uv1_alt is None:
+        uv1_alt = uv1
 
     r2 = (max_pixel_dist * max_pixel_dist).astype(jnp.float32).reshape(1, 1)
     out_shape = (
@@ -113,6 +128,7 @@ def hamming_nn_top2(desc1_pm1: jnp.ndarray, uv1: jnp.ndarray, valid1: jnp.ndarra
         in_specs=[
             qspec(256),                       # q_desc
             qspec(2),                         # q_uv
+            qspec(2),                         # q_uv_alt
             qspec(1),                         # q_valid
             full((K2, 256)),                  # t_desc (whole, reused)
             full((K2, 2)),                    # t_uv
@@ -123,7 +139,8 @@ def hamming_nn_top2(desc1_pm1: jnp.ndarray, uv1: jnp.ndarray, valid1: jnp.ndarra
         out_shape=out_shape,
         interpret=interpret,
     )(
-        desc1_pm1, uv1.astype(jnp.float32), valid1.astype(jnp.int32)[:, None],
+        desc1_pm1, uv1.astype(jnp.float32), uv1_alt.astype(jnp.float32),
+        valid1.astype(jnp.int32)[:, None],
         desc2_pm1, uv2.astype(jnp.float32), valid2.astype(jnp.int32)[:, None],
         r2,
     )

@@ -462,8 +462,11 @@ def load_config(path: str | Path) -> VOConfig:
                 warnings.warn(
                     f"config {path}: unknown key(s) in dataset section "
                     f"'{k}': {sorted(unknown)}", stacklevel=2)
-        elif k == raw.get("dataset_name"):
-            pass  # the selected section, possibly empty ("matlab:")
+        elif v is None:
+            # a bare "name:" line is an (empty) dataset section — selected
+            # or not, sections may coexist (as in the reference file); a
+            # typo'd PARAMETER always carries a value, so no warning here
+            pass
         elif k not in _KNOWN_FLAT_KEYS:
             warnings.warn(f"config {path}: unknown key '{k}' "
                           "(typo? it will have no effect)", stacklevel=2)

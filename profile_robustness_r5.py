@@ -184,17 +184,32 @@ def _distorted():
     return np.stack([distort_image(f, K3, DIST) for f in clean]).astype(np.float32)
 
 
+def _dist_probe():
+    return distort_image(clean[0].astype(np.float64), K3,
+                         DIST).astype(np.float32)
+
+
 def _undistorted():
     return np.stack([undistort_image(f, K3, DIST)
-                     for f in frames_for("distA", _distorted)]).astype(np.float32)
+                     for f in frames_for("distA", _distorted, _dist_probe)]
+                    ).astype(np.float32)
 
 
+def _undist_probe():
+    return undistort_image(
+        frames_for("distA", _distorted, _dist_probe)[0].astype(np.float64),
+        K3, DIST).astype(np.float32)
+
+
+# all three rows at the SAME seed count so the comparison is apples to
+# apples (review r5: clean at 5 seeds vs dist rows at 3 skewed the table)
 famU = {
     "clean": famA["default"],
-    "distorted_raw": evaluate(frames_for("distA", _distorted), gtA,
-                              PROFILES["default"], seeds=SEEDS[:3]),
-    "undistorted": evaluate(frames_for("undistA", _undistorted), gtA,
-                            PROFILES["default"], seeds=SEEDS[:3]),
+    "distorted_raw": evaluate(frames_for("distA", _distorted, _dist_probe),
+                              gtA, PROFILES["default"]),
+    "undistorted": evaluate(frames_for("undistA", _undistorted,
+                                       _undist_probe),
+                            gtA, PROFILES["default"]),
 }
 print("undistort", json.dumps(famU), flush=True)
 results["undistortion"] = famU

@@ -56,10 +56,11 @@ if os.path.exists(CACHE):
     # staleness guard: the cache is keyed only by shape, so verify frame 0
     # against a fresh render — any renderer/trajectory code change
     # invalidates it instead of silently corrupting the artifact
-    probe = syn.render_frame(syn.make_trajectory(N, seed=0,
-                                                 translation_step=0.05)[0],
-                             syn.default_scene(0), K3).astype(np.float32)
-    if np.array_equal(z["frames"][0, 0], probe):
+    gt_probe = syn.make_trajectory(N, seed=0, translation_step=0.05)
+    probe = syn.render_frame(gt_probe[0], syn.default_scene(0),
+                             K3).astype(np.float32)
+    if np.array_equal(z["frames"][0, 0], probe) and np.array_equal(
+            z["gt0"], gt_probe):
         stack_np = z["frames"]
         gts = [z[f"gt{b}"] for b in range(max_b)]
     else:
@@ -146,8 +147,11 @@ for B in BATCHES:
     for b in range(B):
         est = np.asarray(outs.T_w_c)[:, b]        # [n_steps,4,4] (scan-major)
         gt = gts[b][WARMUP:]
+        # normalize by the EVALUATED tail's path length, same convention
+        # as every other artifact's ATE% (review r5: dividing by the full
+        # trajectory length deflated this guard ~25%)
         ates.append(metrics.ate_rmse(est, gt, "sim3")
-                    / metrics.trajectory_length(gts[b]) * 100)
+                    / metrics.trajectory_length(gt) * 100)
     row = {"batch": B, "agg_fps": round(fps, 1),
            "ms_per_frame_per_stream": round(wall / n_steps * 1e3, 3),
            "scaling_vs_b1": round(fps / base_fps_t, 2),

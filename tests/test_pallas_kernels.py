@@ -75,3 +75,37 @@ def test_multi_tile_train_axis():
     best_x, second_x, idx_x = _xla_reference(d1, uv1, v1, d2, uv2, v2, radius)
     np.testing.assert_allclose(np.asarray(best_p), np.asarray(best_x), atol=0)
     np.testing.assert_allclose(np.asarray(second_p), np.asarray(second_x), atol=0)
+
+
+def test_kernel_union_radius_gate():
+    """The kernel's second query position (union motion gate): a train
+    point reachable only from the ALT position must match; with uv1_alt
+    omitted the gate is identical to the single-position one."""
+    rng = np.random.default_rng(5)
+    K1, K2 = 128, 512
+    d1 = rng.integers(0, 2, (K1, 256)).astype(np.int8) * 2 - 1
+    d2 = np.concatenate([d1[:K1], rng.integers(0, 2, (K2 - K1, 256))
+                         .astype(np.int8) * 2 - 1])
+    uv2 = rng.uniform(0, 640, (K2, 2)).astype(np.float32)
+    # primary positions FAR from the matching train points, alt positions
+    # exactly on them
+    uv1 = uv2[:K1] + 500.0
+    uv1_alt = uv2[:K1].copy()
+    v1 = np.ones(K1, bool)
+    v2 = np.ones(K2, bool)
+    best, second, idx = hamming_nn_top2(
+        jnp.asarray(d1), jnp.asarray(uv1), jnp.asarray(v1),
+        jnp.asarray(d2), jnp.asarray(uv2), jnp.asarray(v2),
+        jnp.float32(50.0), uv1_alt=jnp.asarray(uv1_alt), interpret=True)
+    # each query's identical descriptor sits at train index i, reachable
+    # only through the alt position
+    assert np.array_equal(np.asarray(idx), np.arange(K1))
+    assert np.all(np.asarray(best) == 0.0)
+    # without the alt position the identical-descriptor (distance-0) match
+    # is unreachable (a chance radius hit on a RANDOM train point may
+    # still occur at Hamming ~128)
+    best2, _, _ = hamming_nn_top2(
+        jnp.asarray(d1), jnp.asarray(uv1), jnp.asarray(v1),
+        jnp.asarray(d2), jnp.asarray(uv2), jnp.asarray(v2),
+        jnp.float32(50.0), interpret=True)
+    assert np.all(np.asarray(best2) > 0.0)
