@@ -473,6 +473,12 @@ def perturb_frames(frames: np.ndarray, kind: str, severity: float,
                         blocking + ringing around edges, the dominant
                         artifact of compressed camera streams that BRIEF
                         comparisons see as structured descriptor noise
+    - ``vignette``    — radial illumination falloff (cos^4 law raised to
+                        ``severity``): corner gain drops to
+                        (cos^4 θ_corner)^severity ≈ 0.64^severity, the
+                        lens artifact that darkens exactly the image
+                        regions where the matching radius gate needs
+                        corners during rotation
     """
     rng = np.random.default_rng(seed)
     out = frames.astype(np.float32).copy()
@@ -495,6 +501,16 @@ def perturb_frames(frames: np.ndarray, kind: str, severity: float,
         out = mean + float(severity) * (out - mean)
     elif kind == "jpeg":
         out = np.stack([_jpeg_artifacts(f, severity) for f in out])
+    elif kind == "vignette":
+        H, W = out.shape[1:]
+        us, vs = np.meshgrid(np.arange(W) - W / 2, np.arange(H) - H / 2)
+        # cos^4 natural-vignetting law for a ~53 deg half-diagonal FOV
+        # camera (fx ~= width): cos(theta) with r normalized so the image
+        # corner sits at tan(theta_corner) = r_corner / fx
+        fx = float(W)  # ~615 at 640 wide: close enough for the gain law
+        cos_t = fx / np.sqrt(us * us + vs * vs + fx * fx)
+        gain = (cos_t ** 4) ** float(severity)
+        out = out * gain[None, :, :].astype(np.float32)
     else:
         raise ValueError(f"unknown perturbation kind: {kind}")
     return np.clip(out, 0.0, 255.0).astype(np.float32)

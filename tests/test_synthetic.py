@@ -108,3 +108,19 @@ def test_jpeg_perturbation_shape_and_effect():
     assert np.abs(j2 - frames).mean() > 1.0          # artifacts present
     j_tiny = syn.perturb_frames(frames, "jpeg", 0.01)
     assert np.abs(j_tiny - frames).mean() < np.abs(j2 - frames).mean()
+
+
+def test_vignette_perturbation():
+    """Vignetting (round 5): multiplicative radial falloff — center nearly
+    untouched, corners darkened by the cos^4^severity law."""
+    planes = syn.default_scene(0)
+    K = np.array([[307.0, 0, 160], [0, 307.0, 120], [0, 0, 1.0]])
+    img = syn.render_frame(np.eye(4), planes, K, height=240, width=320)
+    frames = img[None].astype(np.float32)
+    v = syn.perturb_frames(frames, "vignette", 2.0)[0]
+    c = (slice(110, 130), slice(150, 170))
+    corner = (slice(0, 20), slice(0, 20))
+    center_ratio = v[c].mean() / max(frames[0][c].mean(), 1e-6)
+    corner_ratio = v[corner].mean() / max(frames[0][corner].mean(), 1e-6)
+    assert center_ratio > 0.95, center_ratio
+    assert corner_ratio < 0.55, corner_ratio
